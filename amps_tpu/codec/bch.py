@@ -1,0 +1,158 @@
+"""Batched BCH(63,51,t=2) codec as GF(2) matmuls + syndrome-LUT gathers.
+
+TPU-first design (SURVEY.md §7 step 1): instead of the reference's per-word
+IT++ polynomial arithmetic (itpp::BCH(63,2,true) at lib/focc_impl.cc:105),
+
+* encode is a single (B, 28) @ (28, 12) int32 matmul mod 2 — the parity of
+  a systematic cyclic code is a linear map of the info bits, so the whole
+  FOCC/FVC word stream encodes in one MXU-friendly op;
+* decode is a (B, 48) @ (48, 12) syndrome matmul mod 2, a pack to a 12-bit
+  index, and a gather from a precomputed (4096, 48) error-pattern table
+  (t=2, n=63 has 1+48+C(48,2)=1177 correctable patterns; every other
+  syndrome marks the word invalid, mirroring itpp::BCH::decode's flag used
+  at lib/recc_decode_impl.cc:66).
+
+Shortening conventions match lib/focc_impl.cc:157-176 (23-zero prefix,
+keep bits 23..62 -> 40-bit forward word) and lib/recc_decode_impl.cc:53-79
+(15-zero prefix, keep info bits -> 36-bit reverse word; the reference's
+48-bit out-of-bounds read is consciously fixed, SURVEY.md §7 quirks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from amps_tpu.codec.bits import packbits
+
+N = 63
+K = 51
+NUM_PARITY = 12
+# g(x) = x^12 + x^10 + x^8 + x^5 + x^4 + x^3 + 1 (TIA/EIA-553 §3.7.1)
+_GEN = np.array([1, 0, 1, 0, 1, 0, 0, 1, 1, 1, 0, 0, 1], dtype=np.uint8)
+
+
+def _poly_mod(dividend: np.ndarray) -> np.ndarray:
+    rem = dividend.copy()
+    for i in range(len(rem) - len(_GEN) + 1):
+        if rem[i]:
+            rem[i : i + len(_GEN)] ^= _GEN
+    return rem[-(len(_GEN) - 1):]
+
+
+@functools.cache
+def _parity_matrix(k_info: int) -> np.ndarray:
+    """(k_info, 12) P with parity = info @ P mod 2, for the code shortened
+    to k_info info bits (leading zeros of the full 51 contribute nothing)."""
+    P = np.zeros((k_info, NUM_PARITY), dtype=np.uint8)
+    for i in range(k_info):
+        m = np.zeros(k_info + NUM_PARITY, dtype=np.uint8)
+        m[i] = 1  # x^(k_info-1-i) * x^12
+        P[i] = _poly_mod(m)
+    return P
+
+
+@functools.cache
+def _syndrome_matrix(n_code: int) -> np.ndarray:
+    """(n_code, 12) H with syndrome = rx @ H mod 2 (remainder mod g)."""
+    H = np.zeros((n_code, NUM_PARITY), dtype=np.uint8)
+    for i in range(n_code):
+        m = np.zeros(n_code, dtype=np.uint8)
+        m[i] = 1
+        H[i] = _poly_mod(m)
+    return H
+
+
+@functools.cache
+def _decode_tables(n_code: int):
+    """Syndrome-indexed tables for the code shortened to n_code bits:
+    returns (err_patterns (4096, n_code) uint8, valid (4096,) bool).
+
+    Patterns are enumerated over the FULL 63-bit codeword, not just the
+    n_code transmitted bits: the reference decodes the zero-padded 63-bit
+    word (lib/recc_decode_impl.cc:62-66), so a <=2-error pattern whose
+    errors land in the zero prefix is still reported valid by IT++ (the
+    prefix flips are invisible in the kept info bits).  We reproduce that
+    acceptance behavior exactly; a strict shortened-code decoder would
+    reject those patterns.
+    """
+    H63 = _syndrome_matrix(N)
+    pad = N - n_code
+    err = np.zeros((1 << NUM_PARITY, n_code), dtype=np.uint8)
+    valid = np.zeros(1 << NUM_PARITY, dtype=bool)
+
+    def syn_index(pattern63):
+        s = pattern63.astype(np.uint8) @ H63 % 2
+        return int(s @ (1 << np.arange(NUM_PARITY - 1, -1, -1)))
+
+    valid[0] = True  # zero syndrome: no errors
+    singles = []
+    for i in range(N):
+        p = np.zeros(N, dtype=np.uint8)
+        p[i] = 1
+        singles.append(p)
+        idx = syn_index(p)
+        err[idx] = p[pad:]
+        valid[idx] = True
+    for i in range(N):
+        for j in range(i + 1, N):
+            p = np.zeros(N, dtype=np.uint8)
+            p[i] = 1
+            p[j] = 1
+            idx = syn_index(p)
+            err[idx] = p[pad:]
+            valid[idx] = True
+    return err, valid
+
+
+def _encode(info, k_info: int, n_out: int):
+    info = jnp.asarray(info, dtype=jnp.uint8)
+    P = jnp.asarray(_parity_matrix(k_info), dtype=jnp.int32)
+    parity = (info.astype(jnp.int32) @ P) % 2
+    return jnp.concatenate([info, parity.astype(jnp.uint8)], axis=-1)
+
+
+def focc_bch_encode(info28):
+    """(..., 28) info bits -> (..., 40) coded forward word."""
+    return _encode(info28, 28, 40)
+
+
+def recc_bch_encode(info36):
+    """(..., 36) info bits -> (..., 48) coded reverse word (mobile side;
+    used to synthesize receiver test vectors and the MS simulator)."""
+    return _encode(info36, 36, 48)
+
+
+def recc_bch_decode(rx48):
+    """(..., 48) received bits -> ((..., 36) corrected info bits, (...) ok).
+
+    ok=False where the syndrome matches no <=2-error pattern.
+    """
+    rx48 = jnp.asarray(rx48, dtype=jnp.uint8)
+    H = jnp.asarray(_syndrome_matrix(48), dtype=jnp.int32)
+    err_tab, valid_tab = _decode_tables(48)
+    syn_bits = (rx48.astype(jnp.int32) @ H) % 2
+    idx = packbits(syn_bits, jnp.int32)
+    err = jnp.asarray(err_tab)[idx]
+    ok = jnp.asarray(valid_tab)[idx]
+    corrected = jnp.bitwise_xor(rx48, err)
+    return corrected[..., :36], ok
+
+
+def focc_bch_decode(rx40):
+    """(..., 40) received bits -> ((..., 28) corrected info bits, (...) ok).
+
+    The reference never decodes the forward code (mobiles do); provided for
+    loopback tests and the MS simulator.
+    """
+    rx40 = jnp.asarray(rx40, dtype=jnp.uint8)
+    H = jnp.asarray(_syndrome_matrix(40), dtype=jnp.int32)
+    err_tab, valid_tab = _decode_tables(40)
+    syn_bits = (rx40.astype(jnp.int32) @ H) % 2
+    idx = packbits(syn_bits, jnp.int32)
+    err = jnp.asarray(err_tab)[idx]
+    ok = jnp.asarray(valid_tab)[idx]
+    corrected = jnp.bitwise_xor(rx40, err)
+    return corrected[..., :28], ok

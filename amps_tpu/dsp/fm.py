@@ -1,0 +1,63 @@
+"""FM/FSK primitives on the real-pair (riq) IQ representation.
+
+* ``fm_modulate_symbols``: the reference's char_to_float ->
+  frequency_modulator_fc chain (sensitivity 2π·max_deviation/symrate,
+  grc/ampsbs.grc:613) as one fused op.  For ±1 integer symbol streams the
+  phase accumulator is an exact int32 cumsum scaled once — Manchester data
+  is DC-balanced per bit, so the integer accumulator stays tiny and there
+  is no float drift even over unbounded streams.
+* ``fm_modulate``: float-input variant (voice/NBFM) with carried phase.
+* ``quadrature_demod``: GR quadrature_demod_cf — gain * arg(x·conj(x[-1])).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from amps_tpu.dsp import iq as riq
+
+
+def fm_modulate_symbols(symbols, sensitivity: float, phase_accum0=0):
+    """FSK-modulate an integer symbol stream.
+
+    symbols: (..., n) int8/int32 (±1); phase[n] = sens * cumsum(symbols).
+    Returns (iq riq (..., n, 2), accum_end (...,) int32) so streaming
+    callers carry the accumulator across blocks exactly.
+
+    Matches gr frequency_modulator_fc, which accumulates THEN emits
+    exp(j*phase) of the post-increment value.
+    """
+    s = jnp.asarray(symbols)
+    carry = jnp.asarray(phase_accum0, jnp.int32)[..., None]
+    accum = jnp.cumsum(s.astype(jnp.int32), axis=-1) + carry
+    phase = accum.astype(jnp.float32) * jnp.float32(sensitivity)
+    return riq.expj(phase), accum[..., -1]
+
+
+def fm_modulate(x, sensitivity: float, phase0=0.0):
+    """FM-modulate a float signal; returns (iq riq, final unwrapped phase).
+
+    Callers streaming long signals should wrap phase0 mod 2π between
+    blocks to bound float32 error.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    phase = jnp.cumsum(x, axis=-1) * jnp.float32(sensitivity) + phase0
+    return riq.expj(phase), phase[..., -1]
+
+
+def quadrature_demod(x, gain: float = 1.0, prev=None):
+    """GR analog_quadrature_demod_cf: y[n] = gain*arg(x[n] conj(x[n-1])).
+
+    x: riq (..., n, 2).  ``prev``: last sample of the previous block
+    ((..., 2)) or None (GR zero-initializes history -> first output 0).
+    Returns (demod (..., n) float32, last sample (..., 2)).
+    """
+    x = jnp.asarray(x)
+    if prev is None:
+        prev_s = jnp.zeros_like(x[..., :1, :])
+    else:
+        prev_s = jnp.asarray(prev)[..., None, :]
+    shifted = jnp.concatenate([prev_s, x[..., :-1, :]], axis=-2)
+    prod = riq.mul_conj(x, shifted)
+    demod = riq.angle(prod) * jnp.float32(gain)
+    return demod, x[..., -1, :]

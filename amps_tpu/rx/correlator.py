@@ -1,0 +1,132 @@
+"""RECC burst detection: matched-filter correlator bank + block-parallel
+timing recovery.
+
+The reference finds bursts with byte-exact ``memmem`` over hard-sliced
+symbols after a per-sample Mueller&Müller feedback loop
+(lib/recc_impl.cc:76-79,118; clock_recovery_mm omega=10).  That loop is
+inherently sequential — the one part of the reference that cannot map to a
+TPU.  The TPU-idiomatic replacement (SURVEY.md §3.5 note):
+
+1. correlate the oversampled FM-demod signal against the ±1 Manchester
+   template of the 37-bit seizure trigger (26 dotting + 11 word-sync bits,
+   lib/recc_impl.cc:76) — one conv, all offsets tested in parallel;
+2. the correlation peak gives burst timing to within half an input sample
+   (the dotting preamble is a timing estimation sequence by design);
+3. integrate-and-dump each of the 3374 captured Manchester symbols
+   (capture_len, lib/recc_impl.cc:70) at the recovered offset and slice.
+
+Detection quality: the normalized correlation threshold plays the role of
+the reference's exact-match requirement but tolerates channel noise; with
+threshold 1.0-equivalent hard matching it reproduces memmem exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+TRIGGER_BITS = np.concatenate(
+    [np.tile(np.array([1, 0], np.uint8), 13),
+     np.array([1, 1, 1, 0, 0, 0, 1, 0, 0, 1, 0], np.uint8)]
+)  # 26 dotting + 11 word-sync bits (lib/recc_impl.cc:76)
+TRIGGER_SYMBOLS = 2 * len(TRIGGER_BITS)  # 74 Manchester symbols
+CAPTURE_SYMBOLS = 3374                   # DCC(7)+7x240 bits, x2 (recc_impl.cc:70)
+
+
+@functools.cache
+def trigger_template(sps: int) -> np.ndarray:
+    """±1 float32 template of the trigger at sps samples/symbol."""
+    first = np.where(TRIGGER_BITS == 0, 1.0, -1.0).astype(np.float32)
+    pair = np.stack([first, -first], axis=1).reshape(-1)
+    return np.repeat(pair, sps)
+
+
+def _correlate(x, tmpl):
+    """Valid cross-correlation via conv: (..., n) -> (..., n-L+1)."""
+    n = x.shape[-1]
+    flat = x.reshape((-1, 1, n)).astype(jnp.float32)
+    rhs = tmpl[None, None, :]  # correlation (no flip)
+    out = lax.conv_general_dilated(
+        flat, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "IOH", "NCH"))
+    return out.reshape(x.shape[:-1] + (out.shape[-1],))
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
+def find_bursts(demod, sps: int, max_bursts: int = 4,
+                threshold: float = 0.6):
+    """Locate up to ``max_bursts`` trigger hits in an FM-demod block.
+
+    demod: (..., n) float32 (discriminator output, data is ±sensitivity).
+    Returns (starts (..., K) int32 — index of the first capture sample
+    (just past the trigger), valid (..., K) bool, quality (..., K) float32
+    normalized correlation).  Peaks below ``threshold`` (cosine-normalized)
+    are marked invalid.  Greedy non-maximum suppression masks ±1 trigger
+    length around each accepted peak.
+    """
+    x = jnp.asarray(demod, jnp.float32)
+    tmpl = jnp.asarray(trigger_template(sps))
+    L = tmpl.shape[0]
+    corr = _correlate(x, tmpl)
+    # normalized by local energy * template energy (cosine similarity)
+    energy = _correlate(x * x, jnp.ones_like(tmpl))
+    tnorm = jnp.sqrt(jnp.sum(tmpl * tmpl))
+    quality = corr / (jnp.sqrt(jnp.maximum(energy, 1e-9)) * tnorm)
+
+    def body(carry, _):
+        q = carry
+        idx = jnp.argmax(q, axis=-1)
+        peak = jnp.take_along_axis(q, idx[..., None], axis=-1)[..., 0]
+        # mask the neighborhood so the next iteration finds the next burst
+        pos = jnp.arange(q.shape[-1])
+        mask = jnp.abs(pos - idx[..., None]) < L
+        q = jnp.where(mask, -jnp.inf, q)
+        return q, (idx, peak)
+
+    _, (idxs, peaks) = lax.scan(body, quality, None, length=max_bursts)
+    # scan stacks on axis 0 -> move to last
+    idxs = jnp.moveaxis(idxs, 0, -1)
+    peaks = jnp.moveaxis(peaks, 0, -1)
+    starts = (idxs + L).astype(jnp.int32)
+    valid = peaks >= threshold
+    return starts, valid, peaks
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
+def extract_burst_symbols(demod, starts, sps: int):
+    """Integrate-and-dump capture: for each start index, take
+    CAPTURE_SYMBOLS Manchester symbols at sps samples each.
+
+    demod: (n,) float32; starts: (K,) int32 (first capture sample).
+    Returns (hard (K, 3374) uint8, soft (K, 3374) float32).
+    Callers must ensure demod is padded so start+3374*sps <= n
+    (dynamic_slice clamps; the streaming wrapper guarantees overlap).
+    """
+    x = jnp.asarray(demod, jnp.float32)
+
+    def one(start):
+        seg = lax.dynamic_slice(x, (start,), (CAPTURE_SYMBOLS * sps,))
+        soft = seg.reshape(CAPTURE_SYMBOLS, sps).mean(axis=-1)
+        return soft
+
+    soft = jax.vmap(one)(starts.astype(jnp.int32))
+    hard = (soft >= 0).astype(jnp.uint8)
+    return hard, soft
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
+def find_and_extract(demod, sps: int, max_bursts: int = 4,
+                     threshold: float = 0.6):
+    """Fused detection + capture for one (possibly batched) demod block."""
+    starts, valid, quality = find_bursts(demod, sps, max_bursts, threshold)
+    if demod.ndim == 1:
+        hard, soft = extract_burst_symbols(demod, starts, sps)
+    else:
+        hard, soft = jax.vmap(
+            lambda d, s: extract_burst_symbols(d, s, sps)
+        )(demod, starts)
+    return starts, valid, quality, hard, soft

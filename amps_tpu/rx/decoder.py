@@ -1,0 +1,85 @@
+"""RECC burst decoding: Manchester + 5-repeat BCH word decode, batched.
+
+Mirrors bursts_message (lib/recc_decode_impl.cc:81-118): a 3374-symbol
+capture is DCC (7 bits Manchester = 14 symbols) + 7 words x 5 repeats x 48
+coded bits (x2 symbols).  Per word the reference tries BCH decode on
+successive repeats until one succeeds (sequential fallback,
+lib/recc_decode_impl.cc:100-107).  We decode ALL 35 repeats of a burst in
+one batched syndrome matmul and then select per policy:
+
+* ``first_ok``   — reference-exact: first repeat whose decode succeeds;
+* ``majority``   — bit-wise majority vote across the 5 repeats before BCH
+  (the spec-recommended combining; strictly better at low SNR, and the
+  behavior named in BASELINE.json).  If the majority word fails BCH we
+  fall back to first_ok.
+
+Parsing uses the BCH-corrected bits — the reference parses the *raw first
+repeat* (lib/recc_decode_impl.cc:112,117) and ignores the corrected output
+it just computed; SURVEY.md §7 marks that a bug to fix consciously.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from amps_tpu.codec.bch import recc_bch_decode
+from amps_tpu.codec.manchester import manchester_decode_bits
+
+NUM_WORDS = 7
+NUM_REPEATS = 5
+WORD_CODED_BITS = 48
+DCC_BITS = 7
+
+
+class DecodedBurst(NamedTuple):
+    dcc_bits: jax.Array      # (..., 7) uint8
+    words: jax.Array         # (..., 7, 36) uint8 corrected info bits
+    word_ok: jax.Array       # (..., 7) bool — any repeat decodable
+    repeat_used: jax.Array   # (..., 7) int32 — repeat index selected
+    bad_symbols: jax.Array   # (..., 8) int32 Manchester bad counts
+                             # (DCC + 7 words, lib/recc_decode_impl.cc:90-98)
+
+
+@functools.partial(jax.jit, static_argnames=("policy",))
+def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
+    """Decode (..., 3374) sliced 0/1 RECC captures."""
+    s = jnp.asarray(symbols)
+    batch = s.shape[:-1]
+    dcc_sym = s[..., : 2 * DCC_BITS]
+    word_sym = s[..., 2 * DCC_BITS:].reshape(batch + (NUM_WORDS, 480))
+
+    dcc_bits, dcc_bad = manchester_decode_bits(dcc_sym)
+    word_bits, word_bad = manchester_decode_bits(word_sym)  # (...,7,240)
+    reps = word_bits.reshape(batch + (NUM_WORDS, NUM_REPEATS, WORD_CODED_BITS))
+
+    dec, ok = recc_bch_decode(reps)  # (...,7,5,36), (...,7,5)
+
+    # first_ok selection: index of first True (argmax of bool), ok if any
+    first_idx = jnp.argmax(ok, axis=-1)                       # (...,7)
+    any_ok = jnp.any(ok, axis=-1)
+    first_words = jnp.take_along_axis(
+        dec, first_idx[..., None, None], axis=-2)[..., 0, :]
+
+    if policy == "first_ok":
+        words, used, wok = first_words, first_idx, any_ok
+    elif policy == "majority":
+        votes = jnp.sum(reps.astype(jnp.int32), axis=-2)      # (...,7,48)
+        maj = (votes * 2 > NUM_REPEATS).astype(jnp.uint8)
+        mdec, mok = recc_bch_decode(maj)
+        words = jnp.where(mok[..., None], mdec, first_words)
+        used = jnp.where(mok, jnp.int32(-1), first_idx)       # -1 = majority
+        wok = mok | any_ok
+    else:
+        raise ValueError(f"unknown repeat policy {policy!r}")
+
+    bad = jnp.concatenate([dcc_bad[..., None], word_bad], axis=-1)
+    return DecodedBurst(dcc_bits, words, wok, used, bad.astype(jnp.int32))
+
+
+def decode_burst(symbols, policy: str = "first_ok") -> DecodedBurst:
+    """Single-capture convenience wrapper."""
+    return decode_bursts(symbols, policy)
