@@ -1,0 +1,226 @@
+"""Base-station call control: the recc_decode dispatch + command processor
+as one host-side state machine.
+
+Mirrors (with cited fixes) the reference's two control blocks:
+
+* recc_decode_impl::bursts_message dispatch per TIA/EIA-553 Table 3.7.1-1
+  (lib/recc_decode_impl.cc:81-272);
+* command_processor_impl::commands_message text commands
+  (lib/command_processor_impl.cc:84-117).
+
+The PMT message ports become method calls + a StationEvent log:
+  focc_words   -> FoccStream.push_words
+  fvc_words    -> FvcStream.set_words
+  audio_mute / fvc_mute -> attributes + events (voice path consumes them)
+  command_out  -> handle_command (loopback, as in the reference flowgraph)
+  debug_output -> events (and the TCP server's reply channel)
+
+Conscious fixes vs the reference (SURVEY.md §7 quirks):
+* words are parsed from the BCH-corrected bits, not the raw first repeat;
+* word B must itself have decoded OK (the reference only checks word A);
+* the out-of-bounds 48-bit read of the 36-bit decode is gone by design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from amps_tpu.codec import words as W
+from amps_tpu.config import PipelineConfig, SystemConfig
+from amps_tpu.control import fields
+from amps_tpu.tx.focc import FoccStream, STREAM_BOTH
+from amps_tpu.tx.fvc import FvcStream
+
+
+@dataclasses.dataclass
+class StationEvent:
+    kind: str        # focc_words|fvc_words|audio_mute|fvc_mute|command|debug
+    payload: object
+    t: float = dataclasses.field(default_factory=time.monotonic)
+
+
+class BaseStation:
+    """Call-control state machine wired to the TX streams."""
+
+    def __init__(self, system: Optional[SystemConfig] = None,
+                 pipe: Optional[PipelineConfig] = None,
+                 on_event: Optional[Callable[[StationEvent], None]] = None):
+        self.system = system or SystemConfig()
+        self.pipe = pipe or PipelineConfig()
+        self.focc = FoccStream(self.system, sps=self.pipe.sps)
+        self.fvc = FvcStream(sps=self.pipe.sps, on_command=self.handle_command)
+        self.audio_mute = False
+        self.fvc_mute = True
+        self.events: List[StationEvent] = []
+        self._on_event = on_event
+        # round-robin voice channel assignment over the configured plan
+        # (the reference hardcodes 355 for page responses and 356 for
+        # originations, lib/recc_decode_impl.cc:205,252)
+        self._vc_plan = self.system.voice_channels
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _emit(self, kind: str, payload) -> None:
+        ev = StationEvent(kind, payload)
+        self.events.append(ev)
+        if self._on_event:
+            self._on_event(ev)
+
+    def _debug(self, msg: str) -> None:
+        self._emit("debug", msg)
+
+    def _push_focc(self, *words28) -> None:
+        ws = [np.asarray(w, dtype=np.uint8) for w in words28]
+        self.focc.push_words(STREAM_BOTH, ws)
+        self._emit("focc_words", ws)
+
+    def _set_fvc(self, word28, timer: int = 0) -> None:
+        w = np.asarray(word28, dtype=np.uint8)
+        self.fvc.set_words(w, timer=timer)
+        self._emit("fvc_words", (w, timer))
+
+    def _set_mutes(self, fvc_mute: bool, audio_mute: bool) -> None:
+        self.fvc_mute = fvc_mute
+        self.audio_mute = audio_mute
+        self._emit("fvc_mute", fvc_mute)
+        self._emit("audio_mute", audio_mute)
+
+    # -- RECC burst dispatch (lib/recc_decode_impl.cc:81-168) --------------
+
+    def handle_burst(self, words, word_ok) -> None:
+        """Dispatch one decoded RECC burst.
+
+        words: (7, 36) uint8 corrected bits; word_ok: (7,) bool.
+        """
+        words = np.asarray(words)
+        ok = np.asarray(word_ok)
+        if not ok[0]:
+            self._debug("got a burst with an invalid Word A")
+            return
+        wa = fields.RxWordA.parse(words[0])
+        if not wa.E:
+            self._debug("got a RECC message with E=0; not sure what this is")
+            return
+        if not ok[1]:
+            # fix: the reference uses word B unchecked
+            self._debug("burst with invalid Word B; dropping")
+            return
+        wb = fields.RxWordB.parse(words[1])
+
+        if not wa.T and wb.ORDER == 0 and wb.ORDQ == 0 and wb.MSG_TYPE == 0:
+            self._handle_response(wa, wb)
+        elif wa.T and wb.ORDER == 0xD:
+            self._handle_registration(wa, wb, words)
+        elif wa.T and (wa.NAWC > 2 or (wb.ORDER == 0 and wb.ORDQ == 0
+                                       and wb.MSG_TYPE == 0)):
+            self._handle_origination(wa, wb, words)
+        else:
+            self._debug(
+                f"got unknown RECC message: ORDER {wb.ORDER:#x} "
+                f"ORDQ {wb.ORDQ:#x} MSG_TYPE {wb.MSG_TYPE:#x}")
+
+    def _handle_response(self, wa: fields.RxWordA, wb: fields.RxWordB):
+        """Page response -> voice assignment + FVC alert
+        (lib/recc_decode_impl.cc:195-222)."""
+        reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
+        self._debug(f"got a response from MIN={reqmin}")
+        chan = self._vc_plan[0]
+        word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
+        word2 = W.focc_word2_voice_channel(self.system.scc, wb.MIN2, 0, chan)
+        self._push_focc(word1, word2)
+        alert = W.fvc_word1_general(self.system.scc, 0, 0, 1)
+        self._set_fvc(alert, timer=self.system.fvc_alert_repeats)
+        self._set_mutes(fvc_mute=False, audio_mute=True)
+
+    def _handle_registration(self, wa, wb, words):
+        """Registration order -> audit-order confirmation
+        (lib/recc_decode_impl.cc:123-138,181-190)."""
+        reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
+        self._debug(f"got registration from MIN={reqmin}")
+        esn = None
+        if wa.S and wa.NAWC > 1:
+            wc = fields.RxWordC.parse(words[2])
+            esn = wc.SERIAL
+            self._debug(f"registration included S; ESN={esn:x}")
+            if wc.NAWC != wa.NAWC - 2:
+                self._debug("protocol violation!  Word C NAWC does not "
+                            "agree with Word A's -- continuing anyway")
+        word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
+        word2 = W.focc_word2_general(wb.MIN2, 0, 0, 7)  # audit order
+        self._push_focc(word1, word2)
+
+    def _handle_origination(self, wa, wb, words):
+        """Origination -> voice assignment (or intercept for leading '0')
+        + 'page <digits>' command (lib/recc_decode_impl.cc:139-165,236-272).
+        """
+        nawc = wa.NAWC
+        esn = 0
+        nextword = 2
+        if wa.S:
+            wc = fields.RxWordC.parse(words[nextword])
+            nextword += 1
+            esn = wc.SERIAL
+            nawc = wa.NAWC - 2
+            if wc.NAWC != nawc:
+                self._debug("protocol violation!  Word C NAWC does not "
+                            "agree with Word A's -- continuing anyway")
+        if nawc < 1 or nawc > 4:
+            self._debug(f"invalid NAWC value in RECC origination: {nawc:#x}")
+            return
+        dialed = ""
+        for _ in range(nawc):
+            cw = fields.RxWordCalled.parse(words[nextword])
+            nextword += 1
+            dialed += cw.digits()
+        reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
+        self._debug(f"origination: MIN={reqmin} ESN={esn:x} dialed {dialed}")
+
+        chan = self._vc_plan[1] if len(self._vc_plan) > 1 else self._vc_plan[0]
+        word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
+        if dialed and dialed[0] == "0":
+            # intercept order instead of voice assignment
+            word2 = W.focc_word2_general(wb.MIN2, 0, 0, 9)
+        else:
+            word2 = W.focc_word2_voice_channel(self.system.scc, wb.MIN2, 0,
+                                               chan)
+        self._push_focc(word1, word2)
+        self._set_mutes(fvc_mute=True, audio_mute=False)
+        self._emit("command", f"page {dialed}")
+        self.handle_command(f"page {dialed}")
+
+    # -- operator commands (lib/command_processor_impl.cc:84-117) ----------
+
+    def handle_command(self, cmdstr: str) -> None:
+        cmd = cmdstr.strip("\x00")
+        if cmd.startswith("fvc off"):
+            self._set_mutes(fvc_mute=True, audio_mute=False)
+            self._debug("turning FVC data OFF; audio ON\n")
+        elif cmd.startswith("fvc on"):
+            self._set_mutes(fvc_mute=False, audio_mute=True)
+            self._debug("turning FVC data ON; audio OFF\n")
+        elif cmd.startswith("fvc alert"):
+            alert = W.fvc_word1_general(self.system.scc, 0, 0, 1)
+            self._set_fvc(alert, timer=0)
+        elif cmd.lower().startswith("page "):
+            self._handle_page(cmd[5:].strip())
+        else:
+            self._debug("invalid command\n")
+
+    def _handle_page(self, numstr: str) -> None:
+        """lib/command_processor_impl.cc:58-82."""
+        if len(numstr) < 1:
+            self._debug("missing MIN in page command\n")
+            return
+        parsed = fields.parse_min(numstr)
+        if parsed is None:
+            self._debug("invalid MIN entered")
+            return
+        self._debug("paging!\n")
+        min1, min2 = parsed
+        word1 = W.focc_word1(True, self.system.dcc, min1)
+        word2 = W.focc_word2_general(min2, 0, 0, 0)  # page order
+        self._push_focc(word1, word2)

@@ -1,0 +1,197 @@
+"""Control-plane tests: RECC dispatch, command processor, TCP server, and
+the closed-loop call flow (burst in -> words on the FOCC out)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from amps_tpu.codec.bch import recc_bch_encode, recc_bch_decode
+from amps_tpu.control import fields
+from amps_tpu.control.server import CommandServer
+from amps_tpu.control.station import BaseStation
+from amps_tpu.ref import words_ref
+from amps_tpu.tx import recc_ms
+
+
+def _decoded(words36):
+    """Simulate the device decode output for clean words."""
+    words = np.zeros((7, 36), dtype=np.uint8)
+    ok = np.zeros(7, dtype=bool)
+    for i, w in enumerate(words36):
+        words[i] = w
+        ok[i] = True
+    # pad slots: garbage decode of dotting is typically not ok; leave False
+    return words, ok
+
+
+def _events(st, kind):
+    return [e.payload for e in st.events if e.kind == kind]
+
+
+def test_fields_match_oracle(rng):
+    bits = rng.integers(0, 2, 36).astype(np.uint8)
+    wa = fields.RxWordA.parse(bits)
+    ref = words_ref.parse_recc_word_a(bits)
+    assert (wa.MIN1, wa.NAWC, wa.T, wa.SCM) == (
+        ref["MIN1"], ref["NAWC"], ref["T"], ref["SCM"])
+    wb = fields.RxWordB.parse(bits)
+    refb = words_ref.parse_recc_word_b(bits)
+    assert (wb.ORDER, wb.ORDQ, wb.MSG_TYPE, wb.MIN2) == (
+        refb["ORDER"], refb["ORDQ"], refb["MSG_TYPE"], refb["MIN2"])
+    for s in ("5551234567", "0005550000"):
+        m = fields.parse_min(s)
+        assert m == words_ref.parse_min(s)
+        assert fields.calc_min(*m) == s
+
+
+def test_page_response_dispatch():
+    st = BaseStation()
+    words, ok = _decoded(recc_ms.page_response_words("5551234567"))
+    st.handle_burst(words, ok)
+    focc = _events(st, "focc_words")
+    assert len(focc) == 1
+    w1, w2 = focc[0]
+    min1, min2 = fields.parse_min("5551234567")
+    assert np.array_equal(w1, words_ref.focc_word1(True, 0, min1))
+    assert np.array_equal(
+        w2, words_ref.focc_word2_voice_channel(1, min2, 0, 355))
+    # FVC alert with 35-repeat timer; mutes flip to data
+    fvc = _events(st, "fvc_words")
+    assert len(fvc) == 1
+    aw, timer = fvc[0]
+    assert np.array_equal(aw, words_ref.fvc_word1_general(1, 0, 0, 1))
+    assert timer == 35
+    assert st.fvc_mute is False and st.audio_mute is True
+    # words actually queued for the next superframe
+    assert st.focc.queue_depth() == 2
+
+
+def test_registration_dispatch():
+    st = BaseStation()
+    words, ok = _decoded(recc_ms.registration_words("2135551212",
+                                                    esn=0xDEADBEEF))
+    st.handle_burst(words, ok)
+    focc = _events(st, "focc_words")
+    assert len(focc) == 1
+    w1, w2 = focc[0]
+    min1, min2 = fields.parse_min("2135551212")
+    assert np.array_equal(w1, words_ref.focc_word1(True, 0, min1))
+    assert np.array_equal(w2, words_ref.focc_word2_general(min2, 0, 0, 7))
+    dbg = " ".join(_events(st, "debug"))
+    assert "ESN=deadbeef" in dbg
+
+
+def test_origination_dispatch_and_page_loopback():
+    st = BaseStation()
+    words, ok = _decoded(recc_ms.origination_words("5551234567", "5551230000"))
+    st.handle_burst(words, ok)
+    focc = _events(st, "focc_words")
+    # origination response + the loopback 'page 5551230000' words
+    assert len(focc) == 2
+    min1, min2 = fields.parse_min("5551234567")
+    w1, w2 = focc[0]
+    assert np.array_equal(
+        w2, words_ref.focc_word2_voice_channel(1, min2, 0, 356))
+    # loopback page of the dialed number
+    pmin1, pmin2 = fields.parse_min("5551230000")
+    p1, p2 = focc[1]
+    assert np.array_equal(p1, words_ref.focc_word1(True, 0, pmin1))
+    assert np.array_equal(p2, words_ref.focc_word2_general(pmin2, 0, 0, 0))
+    assert st.fvc_mute is True and st.audio_mute is False
+    assert _events(st, "command") == ["page 5551230000"]
+
+
+def test_origination_intercept_for_leading_zero():
+    st = BaseStation()
+    words, ok = _decoded(recc_ms.origination_words("5551234567", "0"))
+    st.handle_burst(words, ok)
+    w1, w2 = _events(st, "focc_words")[0]
+    min1, min2 = fields.parse_min("5551234567")
+    # intercept order (ORDER=9), not a voice assignment
+    assert np.array_equal(w2, words_ref.focc_word2_general(min2, 0, 0, 9))
+
+
+def test_invalid_word_a_dropped():
+    st = BaseStation()
+    words, ok = _decoded(recc_ms.page_response_words("5551234567"))
+    ok[0] = False
+    st.handle_burst(words, ok)
+    assert _events(st, "focc_words") == []
+    assert "invalid Word A" in " ".join(_events(st, "debug"))
+
+
+def test_unknown_message_warns():
+    st = BaseStation()
+    w = recc_ms.page_response_words("5551234567")
+    # T=1 with a nonsense order
+    w[0] = recc_ms.ms_word_a(1, True, False, True, False, 0,
+                             fields.parse_min("5551234567")[0])
+    w[1] = recc_ms.ms_word_b(0, 0, 5, 0x15, False, False, 0, 0, 0, 0, 1)
+    words, ok = _decoded(w)
+    st.handle_burst(words, ok)
+    assert _events(st, "focc_words") == []
+    assert "unknown RECC message" in " ".join(_events(st, "debug"))
+
+
+def test_command_processor():
+    st = BaseStation()
+    st.handle_command("fvc on")
+    assert st.fvc_mute is False and st.audio_mute is True
+    st.handle_command("fvc off")
+    assert st.fvc_mute is True and st.audio_mute is False
+    st.handle_command("fvc alert")
+    (aw, timer), = _events(st, "fvc_words")
+    assert np.array_equal(aw, words_ref.fvc_word1_general(1, 0, 0, 1))
+    st.handle_command("page 5551234567")
+    w1, w2 = _events(st, "focc_words")[-1]
+    min1, min2 = fields.parse_min("5551234567")
+    assert np.array_equal(w2, words_ref.focc_word2_general(min2, 0, 0, 0))
+    st.handle_command("page bogus!")
+    assert "invalid MIN" in " ".join(_events(st, "debug"))
+    st.handle_command("frobnicate")
+    assert "invalid command" in " ".join(_events(st, "debug"))
+
+
+def test_closed_loop_call_flow():
+    """MS burst bits -> device BCH decode -> dispatch -> FOCC superframe
+    carries the voice assignment (the §3.2 chain, host segment)."""
+    st = BaseStation()
+    ms_words = recc_ms.page_response_words("5551234567")
+    # encode + decode through the real codec (device path)
+    coded = np.asarray(recc_bch_encode(np.stack(ms_words)))
+    dec, ok = recc_bch_decode(coded)
+    words = np.zeros((7, 36), np.uint8)
+    okv = np.zeros(7, bool)
+    words[:2] = np.asarray(dec)
+    okv[:2] = np.asarray(ok)
+    st.handle_burst(words, okv)
+    pairs = st.focc.next_word_pairs()
+    # slots 4,5 carry word1/word2 of the assignment
+    min1, min2 = fields.parse_min("5551234567")
+    assert np.array_equal(pairs[4, 0], words_ref.focc_word1(True, 0, min1))
+    assert np.array_equal(
+        pairs[5, 0], words_ref.focc_word2_voice_channel(1, min2, 0, 355))
+
+
+@pytest.mark.parametrize("port", [64652])
+def test_tcp_command_server(port):
+    async def run():
+        st = BaseStation()
+        srv = CommandServer(st, port=port)
+        await srv.start()
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"page 5551234567\n")
+        await writer.drain()
+        # debug reply reaches the operator socket
+        data = await asyncio.wait_for(reader.read(100), timeout=5)
+        assert b"paging" in data
+        writer.write(b"garbage\n")
+        await writer.drain()
+        data = await asyncio.wait_for(reader.read(100), timeout=5)
+        assert b"invalid command" in data
+        writer.close()
+        await srv.stop()
+        assert len([e for e in st.events if e.kind == "focc_words"]) == 1
+
+    asyncio.run(run())
