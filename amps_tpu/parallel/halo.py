@@ -1,0 +1,55 @@
+"""Halo exchange for overlap-save streaming over a sharded time axis.
+
+Each time shard holds a contiguous block of samples; streaming FIRs,
+channelizers, and burst correlators need the previous shard's tail
+(ntaps-1, L-P, or trigger+capture samples).  The exchange is one
+``jax.lax.ppermute`` hop over ICI — the ring-neighbor pattern
+(SURVEY.md §2 'sequence-parallel' row).  Inside shard_map only.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def halo_exchange_left(x, n: int, axis_name: str, sample_axis: int = 0):
+    """Prepend each shard with the last ``n`` samples of its LEFT neighbor.
+
+    x: the local block, samples along ``sample_axis``.
+    Shard 0 receives zeros (cold stream start).  Returns an array with
+    ``n`` extra samples at the front of ``sample_axis``.
+    """
+    size = lax.axis_size(axis_name)
+    tail = lax.slice_in_dim(x, x.shape[sample_axis] - n,
+                            x.shape[sample_axis], axis=sample_axis)
+    if size == 1:
+        halo = jnp.zeros_like(tail)
+    else:
+        # send my tail to my right neighbor (i -> i+1); no wraparound
+        perm = [(i, i + 1) for i in range(size - 1)]
+        halo = lax.ppermute(tail, axis_name, perm)
+        # shard 0 got nothing: ppermute leaves zeros for missing sources
+    idx = lax.axis_index(axis_name)
+    halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    return lax.concatenate([halo, x], dimension=sample_axis)
+
+
+def add_tail_to_right(x, tail, axis_name: str, sample_axis: int = 0):
+    """Overlap-add across shards: each shard's ``tail`` (the carry of a
+    streaming overlap-add, e.g. the synthesis channelizer's last L-P
+    samples) is sent to the RIGHT neighbor and added onto the head of its
+    block.  Shard 0 receives nothing; the last shard's tail is dropped
+    (stream is truncated there, as at any stream end)."""
+    size = lax.axis_size(axis_name)
+    n = tail.shape[sample_axis]
+    if size == 1:
+        return x
+    perm = [(i, i + 1) for i in range(size - 1)]
+    recv = lax.ppermute(tail, axis_name, perm)
+    idx = lax.axis_index(axis_name)
+    recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    head = lax.slice_in_dim(x, 0, n, axis=sample_axis) + recv
+    rest = lax.slice_in_dim(x, n, x.shape[sample_axis], axis=sample_axis)
+    return lax.concatenate([head, rest], dimension=sample_axis)

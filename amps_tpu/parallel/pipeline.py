@@ -1,0 +1,206 @@
+"""The multichannel base-station pipeline, single-device and sharded.
+
+Data flow ("the model", cf. SURVEY.md §3.4/§3.5 but over M channels at
+once instead of three hand-placed mixers):
+
+  TX: per-channel FOCC word pairs (C, F, 2, 28)
+      -> superframe symbols (C, n_sym)          [tx.focc, batched]
+      -> FSK baseband at 60 ksps (C, n, 2)      [chan_sps = 3]
+      -> synthesis channelizer -> wideband (n*M/2... , 2) at M x 30 kHz
+
+  RX: wideband (N, 2)
+      -> analysis channelizer -> (Nh, M, 2) per-channel baseband @60k
+      -> quadrature demod (C, Nh)
+      -> trigger correlation + burst capture    [rx.correlator, sps=3]
+      -> batched BCH word decode                [rx.decoder]
+
+Sharded version: shard_map over a ('time', 'chan') mesh.  The wideband
+stream is sharded along time with an L-P sample halo (ppermute); the
+per-channel stage shards channels across 'chan' ranks and exchanges a
+demod-sample halo along 'time' so bursts spanning shard boundaries are
+caught (the overlap discipline of lib/recc_impl.cc:104-107 d_windowsz,
+reborn as ICI collectives).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from amps_tpu.config import PipelineConfig, SystemConfig
+from amps_tpu.dsp import channelizer as chz
+from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+from amps_tpu.parallel.halo import halo_exchange_left, add_tail_to_right
+from amps_tpu.rx import correlator, decoder
+from amps_tpu.tx.focc import focc_frames_symbols
+
+
+@dataclasses.dataclass(frozen=True)
+class MultichannelSpec:
+    num_channels: int = 64        # C = channels actually carrying FOCC
+    taps_per_phase: int = 8
+    pipe: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+
+    @property
+    def chz_spec(self) -> chz.ChannelizerSpec:
+        return chz.ChannelizerSpec(self.num_channels, self.taps_per_phase,
+                                   self.pipe.channel_spacing_hz)
+
+    @property
+    def chan_sps(self) -> int:
+        return self.pipe.chan_sps  # 3 samples/Manchester symbol @ 60k
+
+
+# ---------------------------------------------------------------------------
+# single-device pipeline pieces (shared by the sharded version)
+# ---------------------------------------------------------------------------
+
+def tx_multichannel_block(word_pairs, spec: MultichannelSpec):
+    """(C, F, 2, 28) word pairs -> wideband riq ((F*463*2*sps)*M/2 .. , 2).
+
+    Every channel transmits its own FOCC superframe (the ">=1000 channels"
+    configuration of BASELINE.json is C FOCCs in parallel).
+    """
+    sps = spec.chan_sps
+    syms = focc_frames_symbols(word_pairs, sps)          # (C, n)
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+    bb, _ = fm_modulate_symbols(syms, sens)              # (C, n, 2)
+    Y = jnp.swapaxes(bb, 0, 1)                           # (n, C, 2)
+    x, _ = chz.synthesize(Y, spec.chz_spec,
+                          chz.synthesizer_init(spec.chz_spec))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "max_bursts"))
+def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
+                          threshold: float = 0.55):
+    """Wideband (N, 2) -> per-channel decoded RECC bursts.
+
+    Returns dict with starts/valid/quality (C, K) and decoded words
+    (C, K, 7, 36) + ok (C, K, 7).
+    """
+    Y, _ = chz.analyze(x, spec.chz_spec, chz.analyzer_init(spec.chz_spec))
+    ych = jnp.swapaxes(Y, 0, 1)                          # (C, Nh, 2)
+    demod, _ = quadrature_demod(ych)                     # (C, Nh)
+    sps = spec.chan_sps
+    pad = jnp.zeros(demod.shape[:-1]
+                    + (correlator.CAPTURE_SYMBOLS * sps,), demod.dtype)
+    demod_p = jnp.concatenate([demod, pad], axis=-1)
+    starts, valid, quality = correlator.find_bursts(
+        demod, sps, max_bursts, threshold)
+    hard, soft = jax.vmap(
+        lambda d, s: correlator.extract_burst_symbols(d, s, sps)
+    )(demod_p, starts)
+    dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
+    return {
+        "starts": starts, "valid": valid, "quality": quality,
+        "words": dec.words, "word_ok": dec.word_ok,
+        "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
+    }
+
+
+# ---------------------------------------------------------------------------
+# sharded pipeline (shard_map over ('time', 'chan'))
+# ---------------------------------------------------------------------------
+
+def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
+                         demod_halo: int = 0, max_bursts: int = 2,
+                         threshold: float = 0.55):
+    """Build the jitted sharded full step: TX words -> wideband -> decode.
+
+    word_pairs: (C, F, 2, 28) sharded over channels.
+    Returns a function (word_pairs) -> results dict; the wideband signal
+    is produced and consumed inside one jit so XLA overlaps the
+    collectives with compute.
+
+    demod_halo: demod samples of left-neighbor halo for the correlation
+    stage (>= trigger+capture samples for burst-spanning correctness;
+    smaller values are allowed for dry runs on tiny shapes).
+    """
+    M = spec.num_channels
+    T = spec.taps_per_phase
+    L, Phop = M * T, M // 2
+    sps = spec.chan_sps
+    tsize = mesh.shape["time"]
+    csize = mesh.shape["chan"]
+    assert M % csize == 0
+    c_loc = M // csize
+    h = jnp.asarray(chz.prototype_taps(M, T))
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+
+    def step(word_pairs):
+        # ---- TX stage: channels shard the superframe synthesis ----
+        def tx_local(wp):
+            # wp: (c_loc, F, 2, 28) on this chan rank, replicated over time
+            syms = focc_frames_symbols(wp, sps)          # (c_loc, n)
+            bb, _ = fm_modulate_symbols(syms, sens)      # (c_loc, n, 2)
+            # gather all channels (the synthesis transform needs all M)
+            bb_all = lax.all_gather(bb, "chan", axis=0, tiled=True)  # (M, n, 2)
+            Y = jnp.swapaxes(bb_all, 0, 1)               # (n, M, 2)
+            # time sharding of the hop stream
+            n = Y.shape[0]
+            n_loc = n // tsize
+            tidx = lax.axis_index("time")
+            Yl = lax.dynamic_slice_in_dim(Y, tidx * n_loc, n_loc, axis=0)
+            hop0 = tidx * n_loc
+            xl, tail = chz._synthesize_block(
+                Yl, h, M, T, hop0 % 2,
+                jnp.zeros((L - Phop, 2), jnp.float32))
+            # overlap-add across the time shards: my tail belongs at the
+            # head of my right neighbor's block
+            xl = add_tail_to_right(xl, tail, "time", 0)
+            return xl                                     # (n_loc*P, 2)
+
+        def rx_local(xl):
+            # xl: (N_loc, 2) local wideband; halo then analyze
+            x_ext = halo_exchange_left(xl, L - Phop, "time", 0)
+            tidx = lax.axis_index("time")
+            hop0 = tidx * (xl.shape[0] // Phop)
+            Y = chz._analyze_block(x_ext, h, M, T, hop0 % 2)  # (Nh, M, 2)
+            # channel sharding for the per-channel stage
+            cidx = lax.axis_index("chan")
+            ych = jnp.swapaxes(Y, 0, 1)                  # (M, Nh, 2)
+            ymine = lax.dynamic_slice_in_dim(ych, cidx * c_loc, c_loc, 0)
+            # demod continuity + correlation overlap via time halo
+            halo_n = demod_halo + 1
+            yext = halo_exchange_left(ymine, halo_n, "time", 1)
+            demod, _ = quadrature_demod(yext)            # (c_loc, Nh+halo)
+            demod = demod[:, 1:]                         # drop seed sample
+            padlen = correlator.CAPTURE_SYMBOLS * sps
+            demod_p = jnp.concatenate(
+                [demod, jnp.zeros((c_loc, padlen), demod.dtype)], axis=-1)
+            starts, valid, quality = correlator.find_bursts(
+                demod, sps, max_bursts, threshold)
+            hard, _ = jax.vmap(
+                lambda d, s: correlator.extract_burst_symbols(d, s, sps)
+            )(demod_p, starts)
+            dec = decoder.decode_bursts(hard)
+            # add a leading local time axis so out_specs assemble to
+            # (tsize, C, K, ...) global shapes
+            return (starts[None], valid[None], quality[None],
+                    dec.words[None], dec.word_ok[None])
+
+        def full(wp):
+            xl = tx_local(wp)
+            return rx_local(xl)
+
+        return full(word_pairs)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("chan", None, None, None),),
+        out_specs=(P("time", "chan", None),
+                   P("time", "chan", None),
+                   P("time", "chan", None),
+                   P("time", "chan", None, None, None),
+                   P("time", "chan", None, None)),
+    )
+    return jax.jit(sharded)

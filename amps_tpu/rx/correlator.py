@@ -75,7 +75,17 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     # normalized by local energy * template energy (cosine similarity)
     energy = _correlate(x * x, jnp.ones_like(tmpl))
     tnorm = jnp.sqrt(jnp.sum(tmpl * tmpl))
-    quality = corr / (jnp.sqrt(jnp.maximum(energy, 1e-9)) * tnorm)
+    q_full = corr / (jnp.sqrt(jnp.maximum(energy, 1e-9)) * tnorm)
+    # Idle dotting alone correlates ~0.7 with the full template (52 of its
+    # 74 symbols are dotting).  Gate on the word-sync tail separately: a
+    # real trigger scores ~1 on both, pure dotting scores ~0 on the tail.
+    ws_off = 2 * 26 * sps  # word-sync starts after the 26 dotting bits
+    ws = tmpl[ws_off:]
+    ws_corr = _correlate(x, ws)[..., ws_off:]
+    ws_energy = _correlate(x * x, jnp.ones_like(ws))[..., ws_off:]
+    ws_norm = jnp.sqrt(jnp.sum(ws * ws))
+    q_ws = ws_corr / (jnp.sqrt(jnp.maximum(ws_energy, 1e-9)) * ws_norm)
+    quality = jnp.minimum(q_full, q_ws)
 
     def body(carry, _):
         q = carry

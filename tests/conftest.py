@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# A startup hook preloads the axon TPU plugin and force-merges 'axon' into
+# jax_platforms, so the JAX_PLATFORMS env var alone does NOT select CPU —
+# only config.update does.  Tests must run on the virtual 8-device CPU
+# mesh, not the single real TPU chip.
+jax.config.update("jax_platforms", "cpu")
+
 # XLA compiles in this environment are slow (~2s per new executable, even
 # for tiny eager ops); the persistent cache makes re-runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,0 +1,112 @@
+"""Polyphase channelizer tests (small M so compiles stay cheap)."""
+
+import numpy as np
+import pytest
+
+from amps_tpu.dsp import channelizer as ch
+
+M, T = 8, 8
+SPEC = ch.ChannelizerSpec(num_channels=M, taps_per_phase=T, spacing_hz=30e3)
+P = SPEC.hop
+FS = SPEC.fs  # 240 kHz
+
+
+def _tone(freq_hz, n, fs=FS, amp=1.0, phase0=0.0):
+    t = np.arange(n) / fs
+    ph = 2 * np.pi * freq_hz * t + phase0
+    return np.stack([amp * np.cos(ph), amp * np.sin(ph)], -1).astype(np.float32)
+
+
+def _mag(y):
+    return np.hypot(y[..., 0], y[..., 1])
+
+
+def test_tone_lands_in_its_channel():
+    n = 8192
+    for k in (0, 1, 3, M - 2):  # M-2 == -2 (negative freq)
+        f = (k if k <= M // 2 else k - M) * SPEC.spacing_hz
+        x = _tone(f, n)
+        Y, _ = ch.analyze(x, SPEC, ch.analyzer_init(SPEC))
+        Y = np.asarray(Y)
+        steady = Y[T * 4:]  # skip filter transient
+        power = (_mag(steady) ** 2).mean(axis=0)
+        assert power[k] > 0.9, (k, power)
+        others = np.delete(power, k)
+        assert others.max() < 2e-4, (k, power)
+
+
+def test_channel_output_is_baseband_of_offset():
+    """Tone 10 kHz above channel 2's center -> channel 2 carries a 10 kHz
+    complex tone at the 60 ksps channel rate."""
+    n = 8192
+    k = 2
+    off = 10e3
+    x = _tone(k * SPEC.spacing_hz + off, n)
+    Y, _ = ch.analyze(x, SPEC, ch.analyzer_init(SPEC))
+    yk = np.asarray(Y)[T * 4:, k]
+    phase = np.unwrap(np.arctan2(yk[:, 1], yk[:, 0]))
+    slope = np.polyfit(np.arange(len(phase)), phase, 1)[0]
+    freq = slope * SPEC.channel_rate / (2 * np.pi)
+    assert abs(freq - off) < 200.0, freq
+
+
+def test_streaming_matches_one_shot():
+    rng = np.random.default_rng(0)
+    n = 4096
+    x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    Y1, _ = ch.analyze(x, SPEC, ch.analyzer_init(SPEC))
+    st = ch.analyzer_init(SPEC)
+    Ya, st = ch.analyze(x[: n // 2], SPEC, st)
+    Yb, st = ch.analyze(x[n // 2:], SPEC, st)
+    Y2 = np.concatenate([np.asarray(Ya), np.asarray(Yb)])
+    assert np.allclose(np.asarray(Y1), Y2, atol=1e-5)
+
+
+def test_synthesis_places_tone_at_channel_freq():
+    Nh = 1024
+    k = 3
+    Y = np.zeros((Nh, M, 2), np.float32)
+    Y[:, k, 0] = 1.0  # DC in channel k
+    x, _ = ch.synthesize(Y, SPEC, ch.synthesizer_init(SPEC))
+    x = np.asarray(x)[SPEC.ntaps:]
+    # instantaneous frequency of the wideband output
+    ph = np.unwrap(np.arctan2(x[:, 1], x[:, 0]))
+    slope = np.polyfit(np.arange(len(ph)), ph, 1)[0]
+    freq = slope * FS / (2 * np.pi)
+    assert abs(freq - k * SPEC.spacing_hz) < 300.0, freq
+    # near-constant envelope
+    env = _mag(x)
+    assert env.std() / env.mean() < 0.02
+
+
+def test_synth_analyze_roundtrip():
+    """Per-channel signals survive synthesis -> wideband -> analysis."""
+    rng = np.random.default_rng(1)
+    Nh = 2048
+    Y = np.zeros((Nh, M, 2), np.float32)
+    # narrowband random baseband (lowpassed noise) in channels 1 and 5
+    for k in (1, 5):
+        w = rng.normal(0, 1, (Nh + 64, 2)).astype(np.float32)
+        w = np.stack([np.convolve(w[:, 0], np.ones(32) / 32, "valid"),
+                      np.convolve(w[:, 1], np.ones(32) / 32, "valid")], -1)
+        Y[:, k] = w[:Nh]
+    x, _ = ch.synthesize(Y, SPEC, ch.synthesizer_init(SPEC))
+    Y2, _ = ch.analyze(np.asarray(x), SPEC, ch.analyzer_init(SPEC))
+    Y2 = np.asarray(Y2)
+    # bulk delay: analysis+synthesis prototype delays ~ (L-1)/2 each at fs,
+    # i.e. ~2*T hops minus alignment; find best lag by correlation
+    # complex correlation (a constant per-channel phase between synthesis
+    # and analysis is expected; magnitude is what must survive)
+    for k in (1, 5):
+        a = Y[: Nh - 3 * T * 2, k, 0] + 1j * Y[: Nh - 3 * T * 2, k, 1]
+        best = 0, 0.0
+        for lag in range(0, 4 * T):
+            bb = Y2[lag: lag + len(a), k]
+            b = bb[:, 0] + 1j * bb[:, 1]
+            c = np.abs(np.vdot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b))
+            if c > best[1]:
+                best = lag, c
+        assert best[1] > 0.98, (k, best)
+    # silent channels stay silent
+    assert _mag(Y2[8 * T:, 0]).max() < 0.05
+    assert _mag(Y2[8 * T:, 4]).max() < 0.05
