@@ -1,0 +1,195 @@
+"""Streaming executor — the L3 runtime replacing the GR scheduler.
+
+The reference relies on GNU Radio's thread-per-block scheduler with ring
+buffers between blocks (SURVEY.md §1 L3).  Here the device pipeline is a
+single fused program per block, and the host runtime's job is:
+
+* feed the TX side superframe-by-superframe, mixing per-channel sources
+  (FOCC / FVC blank-and-burst / voice+SAT) per the station's mute state;
+* stream wideband RX blocks through the jitted pipeline, carry all
+  filter/channelizer state, keep burst-detection overlap across blocks,
+  deduplicate bursts found twice in overlapping windows, and hand decoded
+  words to the control plane;
+* do it all with bounded memory and without data-dependent recompiles
+  (block shapes are static).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from amps_tpu.config import PipelineConfig, SystemConfig
+from amps_tpu.control.station import BaseStation
+from amps_tpu.dsp import channelizer as chz
+from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+from amps_tpu.parallel.pipeline import MultichannelSpec
+from amps_tpu.rx import correlator, decoder
+from amps_tpu.tx.focc import FoccStream, focc_frames_symbols
+
+
+@functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts"))
+def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
+                     M: int, T: int, sps: int, max_bursts: int,
+                     threshold: float):
+    """One streaming RX step with carried state.
+
+    x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
+    demod_carry: (M, OVR) demod overlap from the previous block.
+    prev_iq: (M, 2) last channel sample for discriminator continuity.
+    Returns (starts, valid, quality, hard, new_hist, new_parity,
+    new_carry, new_prev, n_new_demod).
+    """
+    h = jnp.asarray(chz.prototype_taps(M, T))
+    x_ext = jnp.concatenate([hist, x], axis=0)
+    Y = chz._analyze_block(x_ext, h, M, T, hop_parity)     # (Nh, M, 2)
+    Nh = Y.shape[0]
+    ych = jnp.swapaxes(Y, 0, 1)                            # (M, Nh, 2)
+    demod_new, last = quadrature_demod(ych, 1.0, prev_iq)  # (M, Nh)
+    demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
+    padlen = correlator.CAPTURE_SYMBOLS * sps
+    demod_p = jnp.concatenate(
+        [demod, jnp.zeros((M, padlen), demod.dtype)], axis=-1)
+    starts, valid, quality = correlator.find_bursts(
+        demod, sps, max_bursts, threshold)
+    # only report bursts whose full capture fits this window; one cut off
+    # by the block edge is re-found complete in the next block's overlap
+    valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
+                     <= demod.shape[-1])
+    hard, _ = jax.vmap(
+        lambda d, s: correlator.extract_burst_symbols(d, s, sps)
+    )(demod_p, starts)
+    ovr = demod_carry.shape[-1]
+    new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
+    new_hist = x_ext[-(M * T - M // 2):]
+    new_parity = (hop_parity + Nh) % 2
+    return (starts, valid, quality, hard, new_hist, new_parity,
+            new_carry, last, Nh)
+
+
+@dataclasses.dataclass
+class BurstReport:
+    channel: int
+    abs_symbol: int          # absolute Manchester-symbol index of capture
+    quality: float
+    words: np.ndarray        # (7, 36)
+    word_ok: np.ndarray      # (7,)
+    bad_symbols: np.ndarray  # (8,)
+
+
+class MultichannelReceiver:
+    """Streaming wideband receiver over the channelizer bank."""
+
+    def __init__(self, spec: MultichannelSpec,
+                 on_burst: Optional[Callable[[BurstReport], None]] = None,
+                 max_bursts: int = 4, threshold: float = 0.55,
+                 policy: str = "first_ok"):
+        self.spec = spec
+        M, T = spec.num_channels, spec.taps_per_phase
+        self.M, self.T = M, T
+        self.sps = spec.chan_sps
+        self.max_bursts = max_bursts
+        self.threshold = threshold
+        self.policy = policy
+        self.on_burst = on_burst
+        # overlap: a burst (trigger + capture) must fit in carry so one
+        # spanning a block boundary is fully inside the next window
+        self.ovr = (correlator.TRIGGER_SYMBOLS
+                    + correlator.CAPTURE_SYMBOLS) * self.sps
+        self._hist = jnp.zeros((M * T - M // 2, 2), jnp.float32)
+        self._parity = jnp.int32(0)
+        self._carry = jnp.zeros((M, self.ovr), jnp.float32)
+        self._prev = jnp.zeros((M, 2), jnp.float32)
+        self._abs_base = -self.ovr  # demod[0]'s absolute channel-sample idx
+        self._last_seen = np.full(M, -10**12, np.int64)
+        self.reports: List[BurstReport] = []
+
+    def push(self, x_block) -> List[BurstReport]:
+        """Process one wideband block ((N, 2), N % hop == 0); returns new
+        (deduplicated) burst reports."""
+        x = jnp.asarray(x_block, jnp.float32)
+        (starts, valid, quality, hard, self._hist, self._parity,
+         self._carry, self._prev, nh) = _rx_stream_block(
+            x, self._hist, self._parity, self._carry, self._prev,
+            self.M, self.T, self.sps, self.max_bursts, self.threshold)
+        dec = decoder.decode_bursts(hard, policy=self.policy)
+        starts = np.asarray(starts)
+        valid = np.asarray(valid)
+        quality = np.asarray(quality)
+        words = np.asarray(dec.words)
+        ok = np.asarray(dec.word_ok)
+        bad = np.asarray(dec.bad_symbols)
+        nh = int(nh)
+        out = []
+        for c in range(self.M):
+            for k in range(starts.shape[1]):
+                if not valid[c, k]:
+                    continue
+                abs_sample = self._abs_base + int(starts[c, k])
+                # dedup: same burst found again in the overlap region
+                if abs(abs_sample - self._last_seen[c]) < \
+                        correlator.CAPTURE_SYMBOLS * self.sps // 2:
+                    continue
+                self._last_seen[c] = abs_sample
+                rep = BurstReport(c, abs_sample // self.sps,
+                                  float(quality[c, k]),
+                                  words[c, k], ok[c, k], bad[c, k])
+                out.append(rep)
+                if self.on_burst:
+                    self.on_burst(rep)
+        self._abs_base += nh
+        self.reports.extend(out)
+        return out
+
+
+class MultichannelTransmitter:
+    """Streaming wideband transmitter: one FOCC stream per control
+    channel; remaining bank slots empty (voice/FVC sources plug into
+    ``set_channel_source``)."""
+
+    def __init__(self, spec: MultichannelSpec,
+                 system: Optional[SystemConfig] = None,
+                 control_channels: Optional[List[int]] = None):
+        self.spec = spec
+        self.system = system or SystemConfig()
+        M = spec.num_channels
+        self.M = M
+        self.sps = spec.chan_sps
+        ctrl = control_channels if control_channels is not None else list(range(M))
+        self.focc: Dict[int, FoccStream] = {
+            k: FoccStream(self.system, sps=self.sps) for k in ctrl}
+        self._sources: Dict[int, Callable[[int], np.ndarray]] = {}
+        self._state = chz.synthesizer_init(spec.chz_spec)
+        self._sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+        self._accum = {k: 0 for k in ctrl}
+
+    def set_channel_source(self, k: int,
+                           source: Callable[[int], np.ndarray]) -> None:
+        """Install a baseband source for slot k: source(n) -> (n, 2) riq
+        (e.g. a voice+SAT generator or an FVC burst stream)."""
+        self._sources[k] = source
+
+    def next_block(self) -> np.ndarray:
+        """Produce one superframe's worth of wideband samples."""
+        n_hops = None
+        chans = {}
+        for k, st in self.focc.items():
+            pairs = st.next_word_pairs()
+            syms = focc_frames_symbols(pairs, self.sps)
+            bb, acc = fm_modulate_symbols(syms, self._sens, self._accum[k])
+            self._accum[k] = acc
+            chans[k] = bb
+            n_hops = bb.shape[0]
+        assert n_hops is not None, "no control channels configured"
+        Y = jnp.zeros((n_hops, self.M, 2), jnp.float32)
+        for k, bb in chans.items():
+            Y = Y.at[:, k, :].set(bb)
+        for k, src in self._sources.items():
+            Y = Y.at[:, k, :].set(jnp.asarray(src(n_hops), jnp.float32))
+        x, self._state = chz.synthesize(Y, self.spec.chz_spec, self._state)
+        return x

@@ -119,7 +119,10 @@ def origination_words(min_str: str, dialed: str, esn: Optional[int] = None,
     s = esn is not None
     ncalled = max(1, -(-len(dialed) // 8))
     assert ncalled <= 4
-    nawc = ncalled + (2 if s else 1)
+    # The reference's origination loop (lib/recc_decode_impl.cc:141-164)
+    # reads worda.NAWC called words when S=0 and NAWC-2 when S=1 (word B
+    # is not counted against NAWC in its arithmetic); encode to match.
+    nawc = ncalled + (2 if s else 0)
     out = [
         ms_word_a(nawc=nawc, t=True, s=s, e=True, er=False, scm=scm,
                   min1=min1),

@@ -1,0 +1,136 @@
+"""Streaming runtime tests: the closed-loop multichannel BS-in-a-box."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amps_tpu import PipelineConfig, SystemConfig
+from amps_tpu.control.station import BaseStation
+from amps_tpu.dsp import channelizer as chz
+from amps_tpu.dsp.fm import fm_modulate_symbols
+from amps_tpu.parallel.pipeline import MultichannelSpec
+from amps_tpu.runtime.streamer import (MultichannelReceiver,
+                                       MultichannelTransmitter)
+from amps_tpu.tx import recc_ms
+
+SPEC = MultichannelSpec(num_channels=8, taps_per_phase=8)
+SPS = SPEC.chan_sps  # 3
+
+
+def _reverse_wideband(bursts_by_channel, total_hops, lead=2000):
+    """Synthesize a reverse-band wideband stream: MS bursts (FM) on the
+    given channelizer slots, idle elsewhere."""
+    Y = np.zeros((total_hops, SPEC.num_channels, 2), np.float32)
+    sens = 2 * np.pi * PipelineConfig().deviation_hz / PipelineConfig().chan_rate
+    for k, words in bursts_by_channel.items():
+        syms = recc_ms.burst_symbols(words, dcc=0, sps=SPS)
+        bb, _ = fm_modulate_symbols(syms.astype(np.int8), sens)
+        bb = np.asarray(bb)
+        n = min(len(bb), total_hops - lead)
+        Y[lead:lead + n, k] = bb[:n]
+    x, _ = chz.synthesize(Y, SPEC.chz_spec, chz.synthesizer_init(SPEC.chz_spec))
+    return np.asarray(x)
+
+
+def test_receiver_finds_burst_and_drives_station():
+    words = recc_ms.page_response_words("5551234567")
+    total_hops = 40000
+    x = _reverse_wideband({3: words}, total_hops)
+    st = BaseStation()
+    rx = MultichannelReceiver(
+        SPEC, on_burst=lambda r: st.handle_burst(r.words, r.word_ok),
+        threshold=0.5)
+    reports = rx.push(x)
+    assert len(reports) == 1
+    rep = reports[0]
+    assert rep.channel == 3
+    assert rep.word_ok[:2].all()
+    assert np.array_equal(rep.words[0], words[0])
+    # station reacted: voice assignment queued on the FOCC
+    assert st.focc.queue_depth() == 2
+    assert st.fvc_mute is False and st.audio_mute is True
+
+
+def test_receiver_streaming_chunked_equals_oneshot():
+    """Chunked pushes find the same burst exactly once (overlap + dedup),
+    even when the burst spans a block boundary."""
+    words = recc_ms.registration_words("2135551212", esn=0x1234)
+    total_hops = 48000
+    x = _reverse_wideband({5: words}, total_hops, lead=17000)
+    for nblocks in (1, 3, 8):
+        rx = MultichannelReceiver(SPEC, threshold=0.5)
+        n = len(x) // nblocks
+        P = SPEC.chz_spec.hop
+        n -= n % P
+        reports = []
+        off = 0
+        while off + n <= len(x):
+            reports += rx.push(x[off:off + n])
+            off += n
+        assert len(reports) == 1, (nblocks, len(reports))
+        assert reports[0].channel == 5
+        assert np.array_equal(reports[0].words[0], words[0])
+
+
+def test_transmitter_produces_focc_on_all_control_channels():
+    tx = MultichannelTransmitter(SPEC, control_channels=[0, 2, 6])
+    x = tx.next_block()
+    x = np.asarray(x)
+    # one superframe at 60 ksps -> hops = 18*463*2*3; wideband = hops * P
+    hops = 18 * 463 * 2 * SPS
+    assert x.shape == (hops * SPEC.chz_spec.hop, 2)
+    # energy concentrated in the three control channels
+    Y, _ = chz.analyze(x, SPEC.chz_spec, chz.analyzer_init(SPEC.chz_spec))
+    Y = np.asarray(Y)[200:]
+    power = (Y[..., 0] ** 2 + Y[..., 1] ** 2).mean(axis=0)
+    on = power[[0, 2, 6]]
+    off = power[[1, 3, 4, 5, 7]]
+    assert on.min() > 0.5
+    assert off.max() < on.min() / 50
+
+
+def test_tx_rx_full_cycle_with_page_injection():
+    """Page a mobile via the station; the word pair appears in the next
+    superframe on the paged control channel, decodable from the wideband
+    RF by a 'mobile' (channelizer + demod + frame decode)."""
+    from amps_tpu.control.fields import parse_min
+    from amps_tpu.ref import words_ref
+    from amps_tpu.dsp.fm import quadrature_demod
+    from amps_tpu.codec.manchester import manchester_decode_bits
+    from amps_tpu.tx.focc import _FRAME_SRC
+
+    tx = MultichannelTransmitter(SPEC, control_channels=[1])
+    st = BaseStation()
+    st.focc = tx.focc[1]  # wire the station's word queue to slot 1
+    st.handle_command("page 5551234567")
+    x = tx.next_block()
+    # mobile side: analyze slot 1, FM demod, slice at 3 samples/symbol
+    Y, _ = chz.analyze(np.asarray(x), SPEC.chz_spec,
+                       chz.analyzer_init(SPEC.chz_spec))
+    y1 = np.asarray(Y)[:, 1]
+    demod, _ = quadrature_demod(jnp.asarray(y1))
+    demod = np.asarray(demod)
+    # find the dotting+wordsync of frame 0 via the FOCC trigger pattern:
+    # simply locate first strong edge; group delay of the bank is fixed:
+    # search the first 2000 samples for the best frame alignment
+    hops = len(demod)
+    best = None
+    syms_per_frame = 463 * 2
+    from amps_tpu.ref import frames_ref
+    want4 = words_ref.focc_word1(True, 0, parse_min("5551234567")[0])
+    found = False
+    for off in range(0, 3 * SPS * 40):
+        idx = off + np.arange(hops // SPS - off // SPS - 2) * SPS + 1
+        idx = idx[idx < hops]
+        hard = (demod[idx] >= 0).astype(np.uint8)
+        n2 = len(hard) - len(hard) % 2
+        bits, bad = manchester_decode_bits(hard[:n2])
+        bits = np.asarray(bits)
+        if len(bits) < 5 * 463:
+            continue
+        frame4 = bits[4 * 463:5 * 463]
+        msg = frame4[_FRAME_SRC >= 0]
+        if np.array_equal(msg[21:49], want4):
+            found = True
+            break
+    assert found, "page word not recovered from slot-1 RF"
