@@ -36,6 +36,7 @@ from typing import Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from amps_tpu.dsp.windows import _window
 
@@ -129,39 +130,76 @@ def synthesizer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
 
 
 @functools.partial(jax.jit, static_argnames=("M", "T"))
-def _analyze_block(x_ext, h, M: int, T: int, hop0_parity=0):
+def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0):
     """x_ext: (..., L-P+N, 2) riq with history prepended (N = Nh*P).
-    Returns Y (..., Nh, M, 2): channel k baseband at 2Δf."""
+    Returns Y (..., M, Nh, 2) CHANNEL-major — the layout the per-channel
+    demod/correlator stages consume with zero transposes."""
     L = M * T
     P = M // 2
     n_ext = x_ext.shape[-2]
     Nh = (n_ext - (L - P)) // P
-    # Overlapping windows at stride P via 2T shifted slices of a blocked
-    # view (a (Nh, L) gather would move L/P = 2T times the data through
-    # the slow gather path; slices are free for XLA).
+    # Polyphase fold as DEPTHWISE convs over hop blocks.  The hop-n
+    # window covers samples nP + m', m' = tM + q_w (t < T, q_w < M), and
+    # in P-sized block coordinates sample nP + tM + q_w lives in block
+    # n + 2t (+1 if q_w >= P) at phase p = q_w mod P.  So the fold
+    #   folded[n, q_w] = sum_t h[L-1-(tM+q_w)] x[nP + tM + q_w]
+    # splits into two dilation-2 depthwise convs over the block axis
+    # (even/odd block parity), P channels each, kernel length T — with
+    # NO (Nh, L) window materialization (2T x less HBM traffic).
     nblk = n_ext // P                                            # Nh + 2T - 1
     blocks = x_ext[..., : nblk * P, :].reshape(
         x_ext.shape[:-2] + (nblk, P, 2))
-    segs = [blocks[..., j: j + Nh, :, :] for j in range(L // P)]
-    win = jnp.stack(segs, axis=-3)                               # (..., Nh, 2T, P, 2)
-    win = win.reshape(x_ext.shape[:-2] + (Nh, L, 2))             # m' = j*P + p
-    coef = jnp.asarray(h)[::-1]                                  # h[L-1-m']
-    wmul = win * coef[:, None]
-    folded = wmul.reshape(wmul.shape[:-2] + (T, M, 2)).sum(axis=-3)
-    v = folded[..., ::-1, :]                                     # r = M-1-q
+    coef = jnp.asarray(h)[::-1].reshape(T, M)                    # coef[t, q_w]
+    k_even = coef[:, :P]                                         # q_w <  P
+    k_odd = coef[:, P:]                                          # q_w >= P
+    batch = x_ext.shape[:-2]
+    # (N, C, W) = (batch*2, P, nblk): phases to channels, iq to batch
+    xin = jnp.moveaxis(blocks, -1, -3)                           # (..., 2, nblk, P)
+    xin = jnp.swapaxes(xin, -1, -2)                              # (..., 2, P, nblk)
+    flat = xin.reshape((-1, P, nblk)).astype(jnp.float32)
+
+    def dconv(x_in, kern_tp):
+        rhs = kern_tp.T[:, None, :].astype(jnp.float32)          # (P, 1, T)
+        return lax.conv_general_dilated(
+            x_in, rhs, window_strides=(1,), padding=[(0, 0)],
+            rhs_dilation=(2,), feature_group_count=P,
+            dimension_numbers=("NCH", "OIH", "NCH"))
+
+    out_e = dconv(flat, k_even)[..., :Nh]                        # (N, P, Nh)
+    out_o = dconv(flat[..., 1:], k_odd)[..., :Nh]
+
+    def to_pnc(a):  # channel-major: (..., P, Nh, 2)
+        a = a.reshape(batch + (2, P, Nh))
+        return jnp.moveaxis(a, -3, -1)
+
+    fe, fo = to_pnc(out_e), to_pnc(out_o)
+    # v[r] = folded[M-1-r]: r < P comes from the odd bank (flipped),
+    # r >= P from the even bank (flipped)
+    v = jnp.concatenate([fo[..., ::-1, :, :], fe[..., ::-1, :, :]], axis=-3)
     C, S = (jnp.asarray(a) for a in _dft_mats(M))
-    vr, vi = v[..., 0], v[..., 1]
-    yr = vr @ C - vi @ S
-    yi = vr @ S + vi @ C
+    vr, vi = v[..., 0], v[..., 1]                                # (..., M, Nh)
+    # y[k, n] = sum_r E+[k,r] v[r, n] — contract on the channel axis so
+    # the result stays channel-major (no transposes before the
+    # per-channel demod/correlator stages)
+    dot = lambda A, b: jnp.einsum("kr,...rn->...kn", A, b)
+    yr = dot(C, vr) - dot(S, vi)
+    yi = dot(S, vr) + dot(C, vi)
     # constant derotation e^{+j 2π k / M}: the hop-n window is evaluated at
     # absolute time nP+L-1, and e^{-j2πk(L-1)/M} = e^{+j2πk/M} for L ≡ 0 (M)
     ang = 2.0 * np.pi * np.arange(M) / M
-    rc = jnp.asarray(np.cos(ang), jnp.float32)
-    rs = jnp.asarray(np.sin(ang), jnp.float32)
+    rc = jnp.asarray(np.cos(ang), jnp.float32)[:, None]
+    rs = jnp.asarray(np.sin(ang), jnp.float32)[:, None]
     yr2 = yr * rc - yi * rs
     yi2 = yr * rs + yi * rc
-    sgn = _hop_sign(M, Nh, hop0_parity)
-    return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-1)
+    sgn = jnp.swapaxes(_hop_sign(M, Nh, hop0_parity), -1, -2)    # (M, Nh)
+    return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-1)            # (..., M, Nh, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "T"))
+def _analyze_block(x_ext, h, M: int, T: int, hop0_parity=0):
+    """Hop-major variant: Y (..., Nh, M, 2) (synthesis-compatible)."""
+    y = _analyze_block_chmajor(x_ext, h, M, T, hop0_parity)
+    return jnp.swapaxes(y, -3, -2)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "T"))
@@ -193,18 +231,20 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
     return out[..., : Nh * P, :], out[..., Nh * P:, :]
 
 
-def analyze(x, spec: ChannelizerSpec, state: AnalyzerState):
+def analyze(x, spec: ChannelizerSpec, state: AnalyzerState,
+            chmajor: bool = False):
     """Streaming analysis: x (..., N, 2), N a multiple of spec.hop.
-    Returns (Y (..., N/P, M, 2), new state)."""
+    Returns (Y, new state); Y is (..., N/P, M, 2) hop-major, or
+    (..., M, N/P, 2) channel-major when ``chmajor``."""
     P = spec.hop
     n = x.shape[-2]
     assert n % P == 0, f"block length {n} not a multiple of hop {P}"
     x_ext = jnp.concatenate([state.history, jnp.asarray(x, jnp.float32)],
                             axis=-2)
-    Y = _analyze_block(x_ext, prototype_taps(spec.num_channels,
-                                             spec.taps_per_phase),
-                       spec.num_channels, spec.taps_per_phase,
-                       jnp.int32(state.hop_idx % 2))
+    fn = _analyze_block_chmajor if chmajor else _analyze_block
+    Y = fn(x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
+           spec.num_channels, spec.taps_per_phase,
+           jnp.int32(state.hop_idx % 2))
     new_hist = x_ext[..., -(spec.ntaps - P):, :]
     return Y, AnalyzerState(new_hist, state.hop_idx + n // P)
 

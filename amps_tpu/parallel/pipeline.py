@@ -87,8 +87,8 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     Returns dict with starts/valid/quality (C, K) and decoded words
     (C, K, 7, 36) + ok (C, K, 7).
     """
-    Y, _ = chz.analyze(x, spec.chz_spec, chz.analyzer_init(spec.chz_spec))
-    ych = jnp.swapaxes(Y, 0, 1)                          # (C, Nh, 2)
+    ych, _ = chz.analyze(x, spec.chz_spec, chz.analyzer_init(spec.chz_spec),
+                         chmajor=True)                   # (C, Nh, 2)
     demod, _ = quadrature_demod(ych)                     # (C, Nh)
     sps = spec.chan_sps
     pad = jnp.zeros(demod.shape[:-1]
@@ -164,10 +164,9 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
             x_ext = halo_exchange_left(xl, L - Phop, "time", 0)
             tidx = lax.axis_index("time")
             hop0 = tidx * (xl.shape[0] // Phop)
-            Y = chz._analyze_block(x_ext, h, M, T, hop0 % 2)  # (Nh, M, 2)
+            ych = chz._analyze_block_chmajor(x_ext, h, M, T, hop0 % 2)
             # channel sharding for the per-channel stage
             cidx = lax.axis_index("chan")
-            ych = jnp.swapaxes(Y, 0, 1)                  # (M, Nh, 2)
             ymine = lax.dynamic_slice_in_dim(ych, cidx * c_loc, c_loc, 0)
             # demod continuity + correlation overlap via time halo
             halo_n = demod_halo + 1

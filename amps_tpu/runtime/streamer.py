@@ -47,9 +47,8 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     """
     h = jnp.asarray(chz.prototype_taps(M, T))
     x_ext = jnp.concatenate([hist, x], axis=0)
-    Y = chz._analyze_block(x_ext, h, M, T, hop_parity)     # (Nh, M, 2)
-    Nh = Y.shape[0]
-    ych = jnp.swapaxes(Y, 0, 1)                            # (M, Nh, 2)
+    ych = chz._analyze_block_chmajor(x_ext, h, M, T, hop_parity)
+    Nh = ych.shape[1]
     demod_new, last = quadrature_demod(ych, 1.0, prev_iq)  # (M, Nh)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
     padlen = correlator.CAPTURE_SYMBOLS * sps

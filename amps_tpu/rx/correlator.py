@@ -56,6 +56,28 @@ def _correlate(x, tmpl):
     return out.reshape(x.shape[:-1] + (out.shape[-1],))
 
 
+@functools.cache
+def _detection_kernels(sps: int):
+    """(4, 2, L) conv kernel computing, in ONE conv over the stacked
+    input planes [x, x^2]:
+      out0 = corr(x, full template)    out1 = sliding energy (full)
+      out2 = corr(x, word-sync tail)   out3 = sliding energy (tail)
+    Channel alignment: the tail kernels are zero-padded at the front so
+    every output indexes the same trigger-start offset.
+    """
+    tmpl = trigger_template(sps)
+    L = len(tmpl)
+    ws_off = 2 * 26 * sps
+    k = np.zeros((4, 2, L), np.float32)
+    k[0, 0] = tmpl
+    k[1, 1] = 1.0
+    k[2, 0, ws_off:] = tmpl[ws_off:]
+    k[3, 1, ws_off:] = 1.0
+    tnorm = float(np.sqrt(np.sum(tmpl * tmpl)))
+    wsnorm = float(np.sqrt(np.sum(tmpl[ws_off:] ** 2)))
+    return k, tnorm, wsnorm
+
+
 @functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
 def find_bursts(demod, sps: int, max_bursts: int = 4,
                 threshold: float = 0.6):
@@ -69,22 +91,22 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     length around each accepted peak.
     """
     x = jnp.asarray(demod, jnp.float32)
-    tmpl = jnp.asarray(trigger_template(sps))
-    L = tmpl.shape[0]
-    corr = _correlate(x, tmpl)
-    # normalized by local energy * template energy (cosine similarity)
-    energy = _correlate(x * x, jnp.ones_like(tmpl))
-    tnorm = jnp.sqrt(jnp.sum(tmpl * tmpl))
+    kern, tnorm, wsnorm = _detection_kernels(sps)
+    L = kern.shape[-1]
+    n = x.shape[-1]
+    planes = jnp.stack([x, x * x], axis=-2)        # (..., 2, n)
+    flat = planes.reshape((-1, 2, n))
+    out = lax.conv_general_dilated(
+        flat, jnp.asarray(kern), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))   # (B, 4, n-L+1)
+    out = out.reshape(x.shape[:-1] + (4, out.shape[-1]))
+    corr, energy, ws_corr, ws_energy = (out[..., i, :] for i in range(4))
+    # cosine similarity of the full template AND of the word-sync tail:
+    # idle dotting alone correlates ~0.7 with the full template (52 of
+    # its 74 symbols are dotting) but ~0 with the tail; a real trigger
+    # scores ~1 on both.
     q_full = corr / (jnp.sqrt(jnp.maximum(energy, 1e-9)) * tnorm)
-    # Idle dotting alone correlates ~0.7 with the full template (52 of its
-    # 74 symbols are dotting).  Gate on the word-sync tail separately: a
-    # real trigger scores ~1 on both, pure dotting scores ~0 on the tail.
-    ws_off = 2 * 26 * sps  # word-sync starts after the 26 dotting bits
-    ws = tmpl[ws_off:]
-    ws_corr = _correlate(x, ws)[..., ws_off:]
-    ws_energy = _correlate(x * x, jnp.ones_like(ws))[..., ws_off:]
-    ws_norm = jnp.sqrt(jnp.sum(ws * ws))
-    q_ws = ws_corr / (jnp.sqrt(jnp.maximum(ws_energy, 1e-9)) * ws_norm)
+    q_ws = ws_corr / (jnp.sqrt(jnp.maximum(ws_energy, 1e-9)) * wsnorm)
     quality = jnp.minimum(q_full, q_ws)
 
     def body(carry, _):
@@ -115,15 +137,28 @@ def extract_burst_symbols(demod, starts, sps: int):
     Returns (hard (K, 3374) uint8, soft (K, 3374) float32).
     Callers must ensure demod is padded so start+3374*sps <= n
     (dynamic_slice clamps; the streaming wrapper guarantees overlap).
+
+    Implementation: integrate-and-dump once per sample phase (sps
+    symbol-rate streams), then slice CAPTURE_SYMBOLS from the stream
+    matching each burst's phase — per-burst work drops from
+    3374*sps samples to 3374.
     """
     x = jnp.asarray(demod, jnp.float32)
+    n = x.shape[-1]
+    nsym = (n - (sps - 1)) // sps
+    # phase p symbol k = mean(x[p + k*sps : p + (k+1)*sps])
+    phases = jnp.stack(
+        [x[p: p + nsym * sps].reshape(nsym, sps).mean(axis=-1)
+         for p in range(sps)])                      # (sps, nsym)
 
     def one(start):
-        seg = lax.dynamic_slice(x, (start,), (CAPTURE_SYMBOLS * sps,))
-        soft = seg.reshape(CAPTURE_SYMBOLS, sps).mean(axis=-1)
-        return soft
+        start = start.astype(jnp.int32)
+        ph = start % sps
+        k0 = start // sps
+        seg = lax.dynamic_slice(phases, (ph, k0), (1, CAPTURE_SYMBOLS))
+        return seg[0]
 
-    soft = jax.vmap(one)(starts.astype(jnp.int32))
+    soft = jax.vmap(one)(starts)
     hard = (soft >= 0).astype(jnp.uint8)
     return hard, soft
 

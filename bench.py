@@ -27,7 +27,7 @@ def main():
 
     M = 128                      # channels in the bank
     spec = MultichannelSpec(num_channels=M, taps_per_phase=8)
-    n = 1 << 20                  # wideband samples per block (~1M)
+    n = 1 << 22                  # wideband samples per block (~4M)
     assert n % spec.chz_spec.hop == 0
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 0.1, (n, 2)).astype(np.float32))
