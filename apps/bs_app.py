@@ -1,0 +1,167 @@
+"""BS-in-a-box application — the grc/ampsbs.grc equivalent.
+
+A running AMPS base station over the multichannel pipeline:
+
+* forward: FOCC on the configured control slot(s), synthesized
+  superframe-by-superframe into wideband IQ (written to --tx-out, a
+  raw interleaved float32 I/Q file, or discarded);
+* reverse: wideband IQ blocks read from --rx-in (raw float32 I/Q file,
+  e.g. a recorded capture resampled to the bank rate) or from the
+  built-in mobile simulator (--simulate), demodulated and decoded;
+* control: TCP command server on port 64652 ('page <MIN>',
+  'fvc on/off/alert'), plus automatic call handling (page response /
+  registration / origination) exactly as the reference dispatches.
+
+Examples:
+  python -m apps.bs_app --channels 8 --simulate origination:5551234567:5551230000
+  python -m apps.bs_app --channels 64 --rx-in capture.f32 --superframes 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="amps_tpu BS-in-a-box")
+    p.add_argument("--channels", type=int, default=8,
+                   help="channelizer bank size M (>= 8, even)")
+    p.add_argument("--control-slot", type=int, default=1,
+                   help="bank slot carrying the FOCC")
+    p.add_argument("--superframes", type=int, default=2,
+                   help="forward superframes to run")
+    p.add_argument("--tx-out", type=str, default=None,
+                   help="write wideband TX IQ (raw float32 interleaved)")
+    p.add_argument("--rx-in", type=str, default=None,
+                   help="read wideband RX IQ (raw float32 interleaved)")
+    p.add_argument("--simulate", type=str, action="append", default=[],
+                   help="mobile event: origination:MIN:DIALED | "
+                        "page_response:MIN | registration:MIN[:ESN] "
+                        "(slot 3 of the reverse band)")
+    p.add_argument("--port", type=int, default=64652,
+                   help="TCP command port (reference Socket PDU port)")
+    p.add_argument("--no-server", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu/axon)")
+    p.add_argument("--aggressive-registration", action="store_true",
+                   help="38-frame registration superframe (reference flag)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from amps_tpu.config import SystemConfig
+    from amps_tpu.control.server import CommandServer
+    from amps_tpu.control.station import BaseStation
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate_symbols
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.runtime.streamer import (MultichannelReceiver,
+                                           MultichannelTransmitter)
+    from amps_tpu.tx import recc_ms
+    from amps_tpu.utils.profiling import meter
+
+    system = SystemConfig(
+        aggressive_registration=args.aggressive_registration)
+    spec = MultichannelSpec(num_channels=args.channels)
+    station = BaseStation(system)
+    tx = MultichannelTransmitter(spec, system,
+                                 control_channels=[args.control_slot])
+    station.focc = tx.focc[args.control_slot]
+
+    def on_burst(rep):
+        print(f"[rx] burst ch={rep.channel} q={rep.quality:.2f} "
+              f"ok={int(rep.word_ok.sum())}/7")
+        station.handle_burst(rep.words, rep.word_ok)
+
+    rx = MultichannelReceiver(spec, on_burst=on_burst, threshold=0.5)
+
+    async def run():
+        server = None
+        if not args.no_server:
+            server = CommandServer(station, port=args.port)
+            await server.start()
+            print(f"[ctl] command server on 127.0.0.1:{args.port}")
+
+        tx_f = open(args.tx_out, "wb") if args.tx_out else None
+        rx_f = open(args.rx_in, "rb") if args.rx_in else None
+        tx_meter = meter("tx_wideband")
+        rx_meter = meter("rx_wideband")
+
+        # queue simulated mobile events as reverse-band blocks
+        sim_blocks = []
+        for ev in args.simulate:
+            parts = ev.split(":")
+            kind = parts[0]
+            if kind == "origination":
+                words = recc_ms.origination_words(parts[1], parts[2])
+            elif kind == "page_response":
+                words = recc_ms.page_response_words(parts[1])
+            elif kind == "registration":
+                esn = int(parts[2], 0) if len(parts) > 2 else None
+                words = recc_ms.registration_words(parts[1], esn=esn)
+            else:
+                print(f"unknown --simulate kind {kind!r}", file=sys.stderr)
+                continue
+            syms = recc_ms.burst_symbols(words, dcc=system.dcc,
+                                         sps=spec.chan_sps)
+            sens = 2 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+            bb, _ = fm_modulate_symbols(syms.astype(np.int8), sens)
+            hops = 16384
+            Y = np.zeros((hops, spec.num_channels, 2), np.float32)
+            Y[1000:1000 + len(np.asarray(bb)), 3] = np.asarray(bb)
+            blk, _ = chz.synthesize(Y, spec.chz_spec,
+                                    chz.synthesizer_init(spec.chz_spec))
+            sim_blocks.append(np.asarray(blk))
+
+        for sf in range(args.superframes):
+            blk = np.asarray(tx.next_block())
+            tx_meter.update(len(blk))
+            if tx_f:
+                blk.astype(np.float32).tofile(tx_f)
+            print(f"[tx] superframe {sf + 1}/{args.superframes}: "
+                  f"{len(blk)} samples ({tx_meter.rate / 1e6:.1f} Msps)")
+
+            # interleave one RX block per superframe
+            rx_block = None
+            if rx_f is not None:
+                P = spec.chz_spec.hop
+                want = (len(blk) // P) * P
+                raw = np.fromfile(rx_f, dtype=np.float32, count=want * 2)
+                if len(raw) >= 2 * P:
+                    raw = raw[: (len(raw) // (2 * P)) * 2 * P]
+                    rx_block = raw.reshape(-1, 2)
+            elif sim_blocks:
+                rx_block = sim_blocks.pop(0)
+            if rx_block is not None:
+                reports = rx.push(rx_block)
+                rx_meter.update(len(rx_block))
+                print(f"[rx] block: {len(rx_block)} samples, "
+                      f"{len(reports)} burst(s)")
+            await asyncio.sleep(0)
+
+        for ev in station.events:
+            if ev.kind in ("debug", "command"):
+                print(f"[station] {ev.kind}: {str(ev.payload).strip()}")
+        if tx_f:
+            tx_f.close()
+        if rx_f:
+            rx_f.close()
+        if server:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()
