@@ -79,16 +79,38 @@ def tx_multichannel_block(word_pairs, spec: MultichannelSpec):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "max_bursts"))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "max_bursts", "use_pallas"))
 def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
-                          threshold: float = 0.55):
+                          threshold: float = 0.55,
+                          use_pallas: bool = True):
     """Wideband (N, 2) -> per-channel decoded RECC bursts.
 
     Returns dict with starts/valid/quality (C, K) and decoded words
-    (C, K, 7, 36) + ok (C, K, 7).
+    (C, K, 7, 36) + ok (C, K, 7).  Uses the fused Pallas analysis
+    kernel when the geometry allows (M % 128 == 0, Nh % 256 == 0) and a
+    TPU is present; the XLA path otherwise (identical numerics).
     """
-    ych, _ = chz.analyze(x, spec.chz_spec, chz.analyzer_init(spec.chz_spec),
-                         chmajor=True)                   # (C, Nh, 2)
+    M = spec.num_channels
+    T = spec.taps_per_phase
+    P = M // 2
+    Nh = x.shape[0] // P
+    # M cap: the kernel holds 4 (M, M) f32 transform matrices in VMEM
+    # (4*M^2*4 bytes); beyond M=256 that crowds the ~16 MB budget
+    pallas_ok = (use_pallas and M % 128 == 0 and M <= 256 and Nh % 256 == 0)
+    if pallas_ok:
+        from amps_tpu import pallas as plk
+        pallas_ok = plk.enabled()
+    if pallas_ok:
+        from amps_tpu.pallas.channelizer_kernel import analyze_chmajor_pallas
+        x_ext = jnp.concatenate(
+            [jnp.zeros((M * T - P, 2), jnp.float32),
+             jnp.asarray(x, jnp.float32)], axis=0)
+        ych = analyze_chmajor_pallas(x_ext, M, T, 0, 256)
+    else:
+        ych, _ = chz.analyze(x, spec.chz_spec,
+                             chz.analyzer_init(spec.chz_spec),
+                             chmajor=True)               # (C, Nh, 2)
     demod, _ = quadrature_demod(ych)                     # (C, Nh)
     sps = spec.chan_sps
     pad = jnp.zeros(demod.shape[:-1]

@@ -1,0 +1,104 @@
+"""Channel-slot baseband sources for the MultichannelTransmitter.
+
+The reference's voice channels are an audio+SAT NBFM chain and an FVC
+data chain feeding the same mixer through a pair of mute blocks toggled
+by the control plane (blank-and-burst: grc/ampsbs.grc blocks_mute_xx
+wired to recc_decode's audio_mute/fvc_mute ports).  VoiceFvcSlot is that
+arrangement as a source object: per block it consults the station's mute
+state and emits either FVC burst samples or voice+SAT baseband.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from amps_tpu.config import PipelineConfig, SystemConfig
+from amps_tpu.control.station import BaseStation
+from amps_tpu.dsp.fm import fm_modulate_symbols
+from amps_tpu.tx.voice import voice_channel_baseband
+
+
+class VoiceFvcSlot:
+    """Blank-and-burst voice channel source.
+
+    audio_source(n) -> (n,) float32 audio at audio_rate, or None for
+    silence.  The FVC data comes from the station's FvcStream; mutes are
+    the station's fvc_mute/audio_mute state.
+    """
+
+    def __init__(self, station: BaseStation,
+                 audio_source: Optional[Callable[[int], np.ndarray]] = None,
+                 system: Optional[SystemConfig] = None,
+                 pipe: Optional[PipelineConfig] = None):
+        self.station = station
+        self.system = system or station.system
+        self.pipe = pipe or station.pipe
+        self.audio_source = audio_source
+        self._sens = (2.0 * np.pi * self.pipe.deviation_hz
+                      / self.pipe.chan_rate)
+        self._fvc_accum = 0
+        self._voice_phase = 0.0
+        self._t = 0.0
+
+    def __call__(self, n_hops: int) -> np.ndarray:
+        """(n_hops, 2) riq baseband at chan_rate for the next block."""
+        if not self.station.fvc_mute:
+            # FVC data active (blank-and-burst)
+            syms = self.station.fvc.next_block(n_hops)
+            iq, accum = fm_modulate_symbols(
+                syms.astype(np.int8), self._sens, self._fvc_accum)
+            self._fvc_accum = int(np.asarray(accum))
+            self._t += n_hops / self.pipe.chan_rate
+            return np.asarray(iq)
+        # voice (+SAT) active
+        n_audio = int(round(n_hops * self.pipe.audio_rate
+                            / self.pipe.chan_rate))
+        if self.audio_source is not None and not self.station.audio_mute:
+            audio = np.asarray(self.audio_source(n_audio), np.float32)
+        else:
+            audio = np.zeros(n_audio, np.float32)
+        iq, phase = voice_channel_baseband(
+            audio, self.system, self.pipe, sat=True,
+            phase0=self._voice_phase, t0=self._t)
+        self._voice_phase = float(np.asarray(phase)) % (2.0 * np.pi)
+        self._t += n_hops / self.pipe.chan_rate
+        out = np.asarray(iq)
+        if len(out) < n_hops:
+            out = np.pad(out, ((0, n_hops - len(out)), (0, 0)))
+        return out[:n_hops]
+
+
+class WavAudioSource:
+    """Looping audio file source (the reference's boot16k.wav player)."""
+
+    def __init__(self, path: str, rate: int = 16_000):
+        import wave
+
+        with wave.open(path, "rb") as w:
+            assert w.getframerate() == rate, (w.getframerate(), rate)
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+        if width == 2:
+            data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        elif width == 1:
+            data = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                    - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if nch > 1:
+            data = data.reshape(-1, nch).mean(axis=1)
+        self.data = data
+        self._off = 0
+
+    def __call__(self, n: int) -> np.ndarray:
+        out = np.empty(n, np.float32)
+        filled = 0
+        while filled < n:
+            take = min(n - filled, len(self.data) - self._off)
+            out[filled:filled + take] = self.data[self._off:self._off + take]
+            self._off = (self._off + take) % len(self.data)
+            filled += take
+        return out

@@ -2,65 +2,64 @@
 (polyphase channelize -> FM demod -> RECC trigger correlate -> burst
 extract -> batched BCH decode), the BASELINE.json headline metric.
 
-vs_baseline: ratio to the 30 Msamples/s a chip must sustain to demodulate
-1000 simultaneous 30 kHz AMPS channels in real time (the north-star
-target); >= 1.0 means the >=1000-channel real-time goal is met on one
-chip.
+Headline configuration: a 1024-channel bank — the literal ">=1000
+simultaneous AMPS channels" north star.  vs_baseline is the ratio to the
+30.72 Msamples/s that 1024 x 30 kHz channels need for real time; >= 1.0
+means the goal is met on one chip.
 
 Prints ONE JSON line.  Runs on the real TPU (the axon platform is the
 environment default).
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _throughput(spec, n, iters=10):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
-    from amps_tpu.parallel.pipeline import (MultichannelSpec,
-                                            rx_multichannel_block)
+    from amps_tpu.parallel.pipeline import rx_multichannel_block
 
-    M = 128                      # channels in the bank
-    spec = MultichannelSpec(num_channels=M, taps_per_phase=8)
-    n = 1 << 22                  # wideband samples per block (~4M)
-    assert n % spec.chz_spec.hop == 0
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 0.1, (n, 2)).astype(np.float32))
 
     def run(xb):
-        out = rx_multichannel_block(xb, spec, max_bursts=2)
-        return out["quality"], out["word_ok"]
+        return rx_multichannel_block(xb, spec, max_bursts=2)["quality"]
 
-    # warmup / compile; force a host read (the axon runtime's
-    # block_until_ready alone does not always synchronize)
-    q, ok = run(x)
-    float(jnp.sum(q))
-
-    iters = 20
+    q = run(x)
+    float(jnp.sum(q))  # sync: axon's block_until_ready alone is not enough
     t0 = time.perf_counter()
     for _ in range(iters):
-        q, ok = run(x)
-    float(jnp.sum(q))  # sync: drains the device stream
+        q = run(x)
+    float(jnp.sum(q))
     dt = time.perf_counter() - t0
+    return n * iters / dt / 1e6
 
-    msps = n * iters / dt / 1e6
-    realtime_channels = msps * 1e6 / 30_000.0
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+
+    n = 1 << 22
+    m1024 = _throughput(MultichannelSpec(num_channels=1024,
+                                         taps_per_phase=8), n)
+    m128 = _throughput(MultichannelSpec(num_channels=128,
+                                        taps_per_phase=8), n)
+
+    realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {
-        "metric": "IQ Msamples/s/chip (channelize+RECC demod+decode)",
-        "value": round(msps, 2),
+        "metric": "IQ Msamples/s/chip (1024-ch channelize+RECC demod+decode)",
+        "value": round(m1024, 2),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / 30.0, 3),
+        "vs_baseline": round(m1024 / realtime_rate, 3),
         "detail": {
-            "num_channels_in_bank": M,
             "block_samples": n,
-            "iters": iters,
-            "seconds": round(dt, 3),
-            "equivalent_realtime_30kHz_channels": int(realtime_channels),
+            "realtime_factor_1024ch": round(m1024 / realtime_rate, 2),
+            "throughput_128ch_bank_msps": round(m128, 2),
+            "equivalent_realtime_30kHz_channels_1024": int(m1024 / 0.03),
             "device": str(jax.devices()[0]),
         },
     }
