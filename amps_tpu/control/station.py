@@ -48,11 +48,17 @@ class BaseStation:
 
     def __init__(self, system: Optional[SystemConfig] = None,
                  pipe: Optional[PipelineConfig] = None,
-                 on_event: Optional[Callable[[StationEvent], None]] = None):
+                 on_event: Optional[Callable[[StationEvent], None]] = None,
+                 sps: Optional[int] = None):
+        """``sps``: samples per Manchester symbol for the TX streams —
+        pipe.sps (5, the 100 ksps single-channel rate) by default;
+        multichannel deployments pass pipe.chan_sps (3, the 60 ksps
+        channelizer slot rate)."""
         self.system = system or SystemConfig()
         self.pipe = pipe or PipelineConfig()
-        self.focc = FoccStream(self.system, sps=self.pipe.sps)
-        self.fvc = FvcStream(sps=self.pipe.sps, on_command=self.handle_command)
+        sps = sps or self.pipe.sps
+        self.focc = FoccStream(self.system, sps=sps)
+        self.fvc = FvcStream(sps=sps, on_command=self.handle_command)
         self.audio_mute = False
         self.fvc_mute = True
         self.events: List[StationEvent] = []
