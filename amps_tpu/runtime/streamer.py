@@ -67,8 +67,12 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     new_hist = x_ext[-(M * T - M // 2):]
     new_parity = (hop_parity + Nh) % 2
+    # per-channel mean band power this block: lets callers reject FM
+    # "capture" ghosts (an idle channel demodulating a strong neighbor's
+    # sideband leakage decodes cleanly but at ~20+ dB lower power)
+    chan_power = jnp.mean(ych[..., 0] ** 2 + ych[..., 1] ** 2, axis=-1)
     return (starts, valid, quality, hard, new_hist, new_parity,
-            new_carry, last, Nh)
+            new_carry, last, Nh, chan_power)
 
 
 @dataclasses.dataclass
@@ -79,6 +83,7 @@ class BurstReport:
     words: np.ndarray        # (7, 36)
     word_ok: np.ndarray      # (7,)
     bad_symbols: np.ndarray  # (8,)
+    rssi: float = 0.0        # mean channel band power over the block
 
 
 class MultichannelReceiver:
@@ -113,7 +118,7 @@ class MultichannelReceiver:
         (deduplicated) burst reports."""
         x = jnp.asarray(x_block, jnp.float32)
         (starts, valid, quality, hard, self._hist, self._parity,
-         self._carry, self._prev, nh) = _rx_stream_block(
+         self._carry, self._prev, nh, chan_power) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
             self.M, self.T, self.sps, self.max_bursts, self.threshold)
         dec = decoder.decode_bursts(hard, policy=self.policy)
@@ -123,6 +128,7 @@ class MultichannelReceiver:
         words = np.asarray(dec.words)
         ok = np.asarray(dec.word_ok)
         bad = np.asarray(dec.bad_symbols)
+        power = np.asarray(chan_power)
         nh = int(nh)
         out = []
         for c in range(self.M):
@@ -137,7 +143,8 @@ class MultichannelReceiver:
                 self._last_seen[c] = abs_sample
                 rep = BurstReport(c, abs_sample // self.sps,
                                   float(quality[c, k]),
-                                  words[c, k], ok[c, k], bad[c, k])
+                                  words[c, k], ok[c, k], bad[c, k],
+                                  rssi=float(power[c]))
                 out.append(rep)
                 if self.on_burst:
                     self.on_burst(rep)
