@@ -12,9 +12,24 @@ environment default).
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _tpu_healthy(timeout_s: int = 120) -> bool:
+    """Probe the chip in a subprocess (a wedged axon terminal hangs
+    device fetches uninterruptibly; see CLAUDE.md)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.arange(8.0))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return b"28.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def _throughput(spec, n, iters=10):
@@ -39,6 +54,15 @@ def _throughput(spec, n, iters=10):
 
 
 def main():
+    # the axon chip occasionally wedges for ~10+ minutes after a client
+    # crash; wait for it rather than hanging the whole bench run
+    for attempt in range(4):
+        if _tpu_healthy():
+            break
+        print(f"tpu unhealthy, retry {attempt + 1}/4 in 300 s...",
+              file=sys.stderr)
+        time.sleep(300)
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from amps_tpu.parallel.pipeline import MultichannelSpec
