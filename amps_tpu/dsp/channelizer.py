@@ -129,11 +129,16 @@ def synthesizer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
     return SynthesizerState(jnp.zeros(batch + (L - P, 2), jnp.float32), 0)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "T"))
-def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0):
+@functools.partial(jax.jit, static_argnames=("M", "T", "bf16"))
+def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
+                           bf16: bool = False):
     """x_ext: (..., L-P+N, 2) riq with history prepended (N = Nh*P).
     Returns Y (..., M, Nh, 2) CHANNEL-major — the layout the per-channel
-    demod/correlator stages consume with zero transposes."""
+    demod/correlator stages consume with zero transposes.
+
+    bf16=True runs the channel-transform matmuls with bfloat16 inputs
+    (f32 accumulation) — ~4x MXU rate on v5e at ~45 dB SNR, plenty for
+    FM demod; keep f32 (default) for bit-parity test paths."""
     L = M * T
     P = M // 2
     n_ext = x_ext.shape[-2]
@@ -181,7 +186,13 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0):
     # y[k, n] = sum_r E+[k,r] v[r, n] — contract on the channel axis so
     # the result stays channel-major (no transposes before the
     # per-channel demod/correlator stages)
-    dot = lambda A, b: jnp.einsum("kr,...rn->...kn", A, b)
+    if bf16:
+        dot = lambda A, b: jnp.einsum(
+            "kr,...rn->...kn", A.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        dot = lambda A, b: jnp.einsum("kr,...rn->...kn", A, b)
     yr = dot(C, vr) - dot(S, vi)
     yi = dot(S, vr) + dot(C, vi)
     # constant derotation e^{+j 2π k / M}: the hop-n window is evaluated at
