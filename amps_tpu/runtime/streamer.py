@@ -33,10 +33,11 @@ from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx.focc import FoccStream, focc_frames_symbols
 
 
-@functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts"))
+@functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
+                                             "want_demod"))
 def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
                      M: int, T: int, sps: int, max_bursts: int,
-                     threshold: float):
+                     threshold: float, want_demod: bool = False):
     """One streaming RX step with carried state.
 
     x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
@@ -72,7 +73,8 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     # sideband leakage decodes cleanly but at ~20+ dB lower power)
     chan_power = jnp.mean(ych[..., 0] ** 2 + ych[..., 1] ** 2, axis=-1)
     return (starts, valid, quality, hard, new_hist, new_parity,
-            new_carry, last, Nh, chan_power)
+            new_carry, last, Nh, chan_power,
+            demod_new if want_demod else None)
 
 
 @dataclasses.dataclass
@@ -92,7 +94,12 @@ class MultichannelReceiver:
     def __init__(self, spec: MultichannelSpec,
                  on_burst: Optional[Callable[[BurstReport], None]] = None,
                  max_bursts: int = 4, threshold: float = 0.55,
-                 policy: str = "first_ok"):
+                 policy: str = "first_ok",
+                 tap_demod_path: Optional[str] = None):
+        """``tap_demod_path``: append raw per-channel FM-demod float32
+        blocks to this file — the debug-tap role of the reference's
+        /tmp/recc.syms file sink (grc/recctest.grc) and AMPS_DEBUG
+        stream dumps (lib/focc_impl.cc:132-135)."""
         self.spec = spec
         M, T = spec.num_channels, spec.taps_per_phase
         self.M, self.T = M, T
@@ -112,15 +119,19 @@ class MultichannelReceiver:
         self._abs_base = -self.ovr  # demod[0]'s absolute channel-sample idx
         self._last_seen = np.full(M, -10**12, np.int64)
         self.reports: List[BurstReport] = []
+        self._tap = open(tap_demod_path, "ab") if tap_demod_path else None
 
     def push(self, x_block) -> List[BurstReport]:
         """Process one wideband block ((N, 2), N % hop == 0); returns new
         (deduplicated) burst reports."""
         x = jnp.asarray(x_block, jnp.float32)
         (starts, valid, quality, hard, self._hist, self._parity,
-         self._carry, self._prev, nh, chan_power) = _rx_stream_block(
+         self._carry, self._prev, nh, chan_power, demod) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
-            self.M, self.T, self.sps, self.max_bursts, self.threshold)
+            self.M, self.T, self.sps, self.max_bursts, self.threshold,
+            want_demod=self._tap is not None)
+        if self._tap is not None and demod is not None:
+            np.asarray(demod).astype(np.float32).tofile(self._tap)
         dec = decoder.decode_bursts(hard, policy=self.policy)
         starts = np.asarray(starts)
         valid = np.asarray(valid)
