@@ -54,36 +54,13 @@ def _throughput(spec, n, iters=10, use_pallas=False):
     return n * iters / dt / 1e6
 
 
-def _pallas_probe(n: int) -> float:
-    """Measure the Pallas-kernel variant in a subprocess: Mosaic compiles
-    go through a remote helper that can crash and wedge the chip, so the
-    stable XLA measurement must already be recorded before this runs."""
-    code = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
-        "import bench\n"
-        "from amps_tpu.parallel.pipeline import MultichannelSpec\n"
-        f"m = bench._throughput(MultichannelSpec(num_channels=128,"
-        f" taps_per_phase=8), {n}, use_pallas=True)\n"
-        "print('PALLAS_MSPS', m)\n"
-    )
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=900)
-        for line in r.stdout.decode().splitlines():
-            if line.startswith("PALLAS_MSPS"):
-                return float(line.split()[1])
-    except subprocess.TimeoutExpired:
-        pass
-    return 0.0
-
-
 def main():
     # the axon chip occasionally wedges for ~10+ minutes after a client
     # crash; wait for it rather than hanging the whole bench run
-    for attempt in range(4):
+    for attempt in range(10):
         if _tpu_healthy():
             break
-        print(f"tpu unhealthy, retry {attempt + 1}/4 in 300 s...",
+        print(f"tpu unhealthy, retry {attempt + 1}/10 in 300 s...",
               file=sys.stderr)
         time.sleep(300)
 
@@ -96,7 +73,13 @@ def main():
                                          taps_per_phase=8), n)
     m128 = _throughput(MultichannelSpec(num_channels=128,
                                         taps_per_phase=8), n)
-    m128_pallas = _pallas_probe(n)
+    # NB: no in-process Pallas probe here — a subprocess cannot share the
+    # single chip with this process's live client (it hangs, and killing
+    # it wedges the chip).  The Pallas kernel's measured numbers
+    # (1.67 ms vs 2.88 ms XLA per 4M-sample analysis) are recorded in
+    # tests and the commit log; enable via rx_multichannel_block(...,
+    # use_pallas=True) in a dedicated process.
+    m128_pallas = 0.0
 
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     best128 = max(m128, m128_pallas)
