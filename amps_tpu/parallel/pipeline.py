@@ -83,7 +83,7 @@ def tx_multichannel_block(word_pairs, spec: MultichannelSpec):
                    static_argnames=("spec", "max_bursts", "use_pallas"))
 def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
                           threshold: float = 0.55,
-                          use_pallas: bool = True):
+                          use_pallas: bool = False):
     """Wideband (N, 2) -> per-channel decoded RECC bursts.
 
     Returns dict with starts/valid/quality (C, K) and decoded words
