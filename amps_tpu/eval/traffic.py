@@ -13,7 +13,6 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from amps_tpu.config import PipelineConfig
 from amps_tpu.dsp import channelizer as chz
 from amps_tpu.dsp.fm import fm_modulate_symbols
 from amps_tpu.parallel.pipeline import MultichannelSpec

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
 
 import numpy as np
 import jax

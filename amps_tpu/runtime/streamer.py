@@ -24,8 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from amps_tpu.config import PipelineConfig, SystemConfig
-from amps_tpu.control.station import BaseStation
+from amps_tpu.config import SystemConfig
+
 from amps_tpu.dsp import channelizer as chz
 from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
 from amps_tpu.parallel.pipeline import MultichannelSpec

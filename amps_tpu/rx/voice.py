@@ -17,7 +17,6 @@ from jax import lax
 
 from amps_tpu.config import PipelineConfig, SystemConfig
 from amps_tpu.dsp.fm import quadrature_demod
-from amps_tpu.dsp.fir import fir_filter
 from amps_tpu.dsp.windows import firdes_low_pass
 
 

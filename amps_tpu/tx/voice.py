@@ -12,7 +12,6 @@ grc/ampsbs.grc blocks_mute_xx).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from amps_tpu.config import PipelineConfig, SystemConfig
-from amps_tpu.dsp.fir import fir_filter, polyphase_interpolate
+from amps_tpu.dsp.fir import polyphase_interpolate
 from amps_tpu.dsp.fm import fm_modulate
 from amps_tpu.dsp.windows import firdes_low_pass
 
