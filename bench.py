@@ -19,17 +19,28 @@ import time
 import numpy as np
 
 
-def _tpu_healthy(timeout_s: int = 120) -> bool:
-    """Probe the chip in a subprocess (a wedged axon terminal hangs
-    device fetches uninterruptibly; see CLAUDE.md)."""
+def _wait_for_tpu(budget_s: float = 2700.0) -> bool:
+    """Wait for the chip with ONE never-killed prober subprocess.
+
+    Killing a process that is blocked on a wedged chip RE-wedges it
+    (CLAUDE.md), so the prober is left to block until the chip recovers
+    and then exits cleanly; we poll its liveness without signaling it.
+    """
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.arange(8.0))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return b"28.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL)
+    t0 = time.time()
+    while time.time() - t0 < budget_s:
+        rc = proc.poll()
+        if rc is not None:
+            out = proc.stdout.read() if proc.stdout else b""
+            return b"28.0" in out
+        time.sleep(15)
+    print("tpu prober still blocked after budget; proceeding anyway "
+          "(prober left running, not killed)", file=sys.stderr)
+    return False
 
 
 def _throughput(spec, n, iters=10, use_pallas=False):
@@ -55,14 +66,9 @@ def _throughput(spec, n, iters=10, use_pallas=False):
 
 
 def main():
-    # the axon chip occasionally wedges for ~10+ minutes after a client
-    # crash; wait for it rather than hanging the whole bench run
-    for attempt in range(10):
-        if _tpu_healthy():
-            break
-        print(f"tpu unhealthy, retry {attempt + 1}/10 in 300 s...",
-              file=sys.stderr)
-        time.sleep(300)
+    # the axon chip wedges for minutes-to-hours after any client crash;
+    # patiently wait (never kill a blocked prober — that re-wedges it)
+    _wait_for_tpu()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
