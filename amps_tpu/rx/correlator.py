@@ -45,17 +45,6 @@ def trigger_template(sps: int) -> np.ndarray:
     return np.repeat(pair, sps)
 
 
-def _correlate(x, tmpl):
-    """Valid cross-correlation via conv: (..., n) -> (..., n-L+1)."""
-    n = x.shape[-1]
-    flat = x.reshape((-1, 1, n)).astype(jnp.float32)
-    rhs = tmpl[None, None, :]  # correlation (no flip)
-    out = lax.conv_general_dilated(
-        flat, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "IOH", "NCH"))
-    return out.reshape(x.shape[:-1] + (out.shape[-1],))
-
-
 @functools.cache
 def _detection_kernels(sps: int):
     """(4, 2, L) conv kernel computing, in ONE conv over the stacked
