@@ -103,6 +103,7 @@ class FvcStream:
     def next_block(self, n: int) -> np.ndarray:
         """Next n ±1 samples of the repeating burst (0-fill when idle)."""
         out = np.zeros(n, dtype=np.int8)
+        fire = False
         with self._lock:
             if self._burst is None:
                 return out
@@ -117,5 +118,9 @@ class FvcStream:
                     if self._timer >= 1:
                         self._timer -= 1
                         if self._timer == 0:
-                            self.on_command("fvc off")
+                            fire = True
+        # fire outside the lock: the command handler may call back into
+        # set_words/clear (which take the lock)
+        if fire:
+            self.on_command("fvc off")
         return out
