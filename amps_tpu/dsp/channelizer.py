@@ -98,6 +98,71 @@ def _dft_mats(M: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+@functools.cache
+def _dft_split_mats(M: int, M2: int):
+    """Two-stage Cooley-Tukey factors of E+ for M = M1*M2.
+
+    With r = m1 + M1*m2 and k = k2 + M2*k1:
+      E+[k,r] = E1+[k1,m1] * tw[k2,m1] * E2+[k2,m2],
+      tw[k2,m1] = exp(+j 2π k2 m1 / M).
+    Cuts the transform from M^2 to M*(M1+M2) MACs per hop — 8x fewer at
+    M=1024 (M2=128) while keeping a 128-deep MXU contraction in stage 1.
+    Returns (C2, S2, C1, S1, twc, tws) float32.
+    """
+    assert M % M2 == 0
+    M1 = M // M2
+    C2, S2 = _dft_mats(M2)
+    C1, S1 = _dft_mats(M1)
+    ang = 2.0 * np.pi * np.outer(np.arange(M2), np.arange(M1)) / M
+    return (C2, S2, C1, S1,
+            np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def default_split(M: int) -> int:
+    """Auto split factor M2 for the channel transform: two-stage with a
+    128-deep first contraction once M is large enough that the dense
+    (M, M) matmul dominates; 0 (dense) otherwise."""
+    return 128 if (M % 128 == 0 and M >= 512) else 0
+
+
+def _transform_chmajor(vr, vi, M: int, bf16: bool, split: int):
+    """y[k,n] = sum_r E+[k,r] v[r,n] on channel-major (..., M, Nh) planes.
+    split=0: dense (M, M) matmul pair; split=M2: two-stage Cooley-Tukey.
+    bf16: matmuls in bfloat16 with f32 accumulation."""
+    if bf16:
+        def dot(expr, A, b):
+            return jnp.einsum(expr, A.astype(jnp.bfloat16),
+                              b.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+    else:
+        dot = jnp.einsum
+    if not split:
+        C, S = (jnp.asarray(a) for a in _dft_mats(M))
+        yr = dot("kr,...rn->...kn", C, vr) - dot("kr,...rn->...kn", S, vi)
+        yi = dot("kr,...rn->...kn", S, vr) + dot("kr,...rn->...kn", C, vi)
+        return yr, yi
+    M2 = split
+    M1 = M // M2
+    C2, S2, C1, S1, twc, tws = (jnp.asarray(a)
+                                for a in _dft_split_mats(M, M2))
+    shp = vr.shape[:-2]
+    Nh = vr.shape[-1]
+    v2r = vr.reshape(shp + (M2, M1, Nh))     # [m2, m1] = r = m1 + M1*m2
+    v2i = vi.reshape(shp + (M2, M1, Nh))
+    # stage 1: contract m2 (depth M2 on the MXU)
+    Ar = dot("ab,...bmn->...amn", C2, v2r) - dot("ab,...bmn->...amn", S2, v2i)
+    Ai = dot("ab,...bmn->...amn", S2, v2r) + dot("ab,...bmn->...amn", C2, v2i)
+    # twiddle (elementwise, VPU)
+    tc = twc[:, :, None]
+    ts = tws[:, :, None]
+    Br = tc * Ar - ts * Ai
+    Bi = ts * Ar + tc * Ai
+    # stage 2: contract m1; output index [k1, k2] flattens to k = k2+M2*k1
+    yr = dot("km,...amn->...kan", C1, Br) - dot("km,...amn->...kan", S1, Bi)
+    yi = dot("km,...amn->...kan", S1, Br) + dot("km,...amn->...kan", C1, Bi)
+    return (yr.reshape(shp + (M, Nh)), yi.reshape(shp + (M, Nh)))
+
+
 def _hop_sign(M: int, Nh: int, hop0_parity):
     """(Nh, M) matrix of (-1)^{k n}.  hop0_parity may be a traced int32
     scalar (inside shard_map the absolute hop index depends on the shard
@@ -129,16 +194,22 @@ def synthesizer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
     return SynthesizerState(jnp.zeros(batch + (L - P, 2), jnp.float32), 0)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "T", "bf16"))
+@functools.partial(jax.jit,
+                   static_argnames=("M", "T", "bf16", "split", "fold"))
 def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
-                           bf16: bool = False):
+                           bf16: bool = False, split: int = 0,
+                           fold: str = "conv"):
     """x_ext: (..., L-P+N, 2) riq with history prepended (N = Nh*P).
     Returns Y (..., M, Nh, 2) CHANNEL-major — the layout the per-channel
     demod/correlator stages consume with zero transposes.
 
     bf16=True runs the channel-transform matmuls with bfloat16 inputs
     (f32 accumulation) — ~4x MXU rate on v5e at ~45 dB SNR, plenty for
-    FM demod; keep f32 (default) for bit-parity test paths."""
+    FM demod; keep f32 (default) for bit-parity test paths.
+    split=M2 (>0) uses the two-stage Cooley-Tukey transform (see
+    _dft_split_mats); fold="shift" computes the polyphase fold as T
+    unrolled shifted multiply-adds (pure VPU elementwise, no grouped
+    conv) — same numerics up to f32 summation order."""
     L = M * T
     P = M // 2
     n_ext = x_ext.shape[-2]
@@ -158,43 +229,48 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     k_even = coef[:, :P]                                         # q_w <  P
     k_odd = coef[:, P:]                                          # q_w >= P
     batch = x_ext.shape[:-2]
-    # (N, C, W) = (batch*2, P, nblk): phases to channels, iq to batch
-    xin = jnp.moveaxis(blocks, -1, -3)                           # (..., 2, nblk, P)
-    xin = jnp.swapaxes(xin, -1, -2)                              # (..., 2, P, nblk)
-    flat = xin.reshape((-1, P, nblk)).astype(jnp.float32)
+    if fold == "shift":
+        # T unrolled shifted multiply-adds over the (nblk, P, 2) block
+        # view — one fused VPU loop, no grouped conv, no input transpose
+        bl32 = blocks.astype(jnp.float32)
+        ke = k_even[:, :, None]                                  # (T, P, 1)
+        ko = k_odd[:, :, None]
+        acc_e = ke[0] * bl32[..., 0:Nh, :, :]
+        acc_o = ko[0] * bl32[..., 1:1 + Nh, :, :]
+        for t in range(1, T):
+            acc_e = acc_e + ke[t] * bl32[..., 2 * t: 2 * t + Nh, :, :]
+            acc_o = acc_o + ko[t] * bl32[..., 2 * t + 1: 2 * t + 1 + Nh, :, :]
+        fe = jnp.swapaxes(acc_e, -3, -2)                         # (..., P, Nh, 2)
+        fo = jnp.swapaxes(acc_o, -3, -2)
+    else:
+        # (N, C, W) = (batch*2, P, nblk): phases to channels, iq to batch
+        xin = jnp.moveaxis(blocks, -1, -3)                       # (..., 2, nblk, P)
+        xin = jnp.swapaxes(xin, -1, -2)                          # (..., 2, P, nblk)
+        flat = xin.reshape((-1, P, nblk)).astype(jnp.float32)
 
-    def dconv(x_in, kern_tp):
-        rhs = kern_tp.T[:, None, :].astype(jnp.float32)          # (P, 1, T)
-        return lax.conv_general_dilated(
-            x_in, rhs, window_strides=(1,), padding=[(0, 0)],
-            rhs_dilation=(2,), feature_group_count=P,
-            dimension_numbers=("NCH", "OIH", "NCH"))
+        def dconv(x_in, kern_tp):
+            rhs = kern_tp.T[:, None, :].astype(jnp.float32)      # (P, 1, T)
+            return lax.conv_general_dilated(
+                x_in, rhs, window_strides=(1,), padding=[(0, 0)],
+                rhs_dilation=(2,), feature_group_count=P,
+                dimension_numbers=("NCH", "OIH", "NCH"))
 
-    out_e = dconv(flat, k_even)[..., :Nh]                        # (N, P, Nh)
-    out_o = dconv(flat[..., 1:], k_odd)[..., :Nh]
+        out_e = dconv(flat, k_even)[..., :Nh]                    # (N, P, Nh)
+        out_o = dconv(flat[..., 1:], k_odd)[..., :Nh]
 
-    def to_pnc(a):  # channel-major: (..., P, Nh, 2)
-        a = a.reshape(batch + (2, P, Nh))
-        return jnp.moveaxis(a, -3, -1)
+        def to_pnc(a):  # channel-major: (..., P, Nh, 2)
+            a = a.reshape(batch + (2, P, Nh))
+            return jnp.moveaxis(a, -3, -1)
 
-    fe, fo = to_pnc(out_e), to_pnc(out_o)
+        fe, fo = to_pnc(out_e), to_pnc(out_o)
     # v[r] = folded[M-1-r]: r < P comes from the odd bank (flipped),
     # r >= P from the even bank (flipped)
     v = jnp.concatenate([fo[..., ::-1, :, :], fe[..., ::-1, :, :]], axis=-3)
-    C, S = (jnp.asarray(a) for a in _dft_mats(M))
     vr, vi = v[..., 0], v[..., 1]                                # (..., M, Nh)
     # y[k, n] = sum_r E+[k,r] v[r, n] — contract on the channel axis so
     # the result stays channel-major (no transposes before the
     # per-channel demod/correlator stages)
-    if bf16:
-        dot = lambda A, b: jnp.einsum(
-            "kr,...rn->...kn", A.astype(jnp.bfloat16),
-            b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
-    else:
-        dot = lambda A, b: jnp.einsum("kr,...rn->...kn", A, b)
-    yr = dot(C, vr) - dot(S, vi)
-    yi = dot(S, vr) + dot(C, vi)
+    yr, yi = _transform_chmajor(vr, vi, M, bf16, split)
     # constant derotation e^{+j 2π k / M}: the hop-n window is evaluated at
     # absolute time nP+L-1, and e^{-j2πk(L-1)/M} = e^{+j2πk/M} for L ≡ 0 (M)
     ang = 2.0 * np.pi * np.arange(M) / M
@@ -206,10 +282,13 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-1)            # (..., M, Nh, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "T"))
-def _analyze_block(x_ext, h, M: int, T: int, hop0_parity=0):
+@functools.partial(jax.jit, static_argnames=("M", "T", "bf16", "split",
+                                             "fold"))
+def _analyze_block(x_ext, h, M: int, T: int, hop0_parity=0,
+                   bf16: bool = False, split: int = 0, fold: str = "conv"):
     """Hop-major variant: Y (..., Nh, M, 2) (synthesis-compatible)."""
-    y = _analyze_block_chmajor(x_ext, h, M, T, hop0_parity)
+    y = _analyze_block_chmajor(x_ext, h, M, T, hop0_parity, bf16, split,
+                               fold)
     return jnp.swapaxes(y, -3, -2)
 
 
@@ -243,19 +322,24 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
 
 
 def analyze(x, spec: ChannelizerSpec, state: AnalyzerState,
-            chmajor: bool = False):
+            chmajor: bool = False, bf16: bool = False,
+            split: int = -1, fold: str = "conv"):
     """Streaming analysis: x (..., N, 2), N a multiple of spec.hop.
     Returns (Y, new state); Y is (..., N/P, M, 2) hop-major, or
-    (..., M, N/P, 2) channel-major when ``chmajor``."""
+    (..., M, N/P, 2) channel-major when ``chmajor``.
+    split=-1 auto-selects the two-stage transform for large M (see
+    default_split); pass 0 to force the dense matmul."""
     P = spec.hop
     n = x.shape[-2]
     assert n % P == 0, f"block length {n} not a multiple of hop {P}"
+    if split < 0:
+        split = default_split(spec.num_channels)
     x_ext = jnp.concatenate([state.history, jnp.asarray(x, jnp.float32)],
                             axis=-2)
     fn = _analyze_block_chmajor if chmajor else _analyze_block
     Y = fn(x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
            spec.num_channels, spec.taps_per_phase,
-           jnp.int32(state.hop_idx % 2))
+           jnp.int32(state.hop_idx % 2), bf16, split, fold)
     new_hist = x_ext[..., -(spec.ntaps - P):, :]
     return Y, AnalyzerState(new_hist, state.hop_idx + n // P)
 

@@ -47,6 +47,12 @@ class MultichannelSpec:
     num_channels: int = 64        # C = channels actually carrying FOCC
     taps_per_phase: int = 8
     pipe: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    # channel-transform tuning (dsp/channelizer.py): bf16 matmuls with
+    # f32 accumulation; two-stage split (-1 auto / 0 dense / M2); fold
+    # strategy ("conv" grouped-conv or "shift" unrolled VPU)
+    transform_bf16: bool = False
+    transform_split: int = -1
+    fold: str = "conv"
 
     @property
     def chz_spec(self) -> chz.ChannelizerSpec:
@@ -109,7 +115,9 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     else:
         ych, _ = chz.analyze(x, spec.chz_spec,
                              chz.analyzer_init(spec.chz_spec),
-                             chmajor=True)               # (C, Nh, 2)
+                             chmajor=True, bf16=spec.transform_bf16,
+                             split=spec.transform_split,
+                             fold=spec.fold)             # (C, Nh, 2)
     demod, _ = quadrature_demod(ych)                     # (C, Nh)
     sps = spec.chan_sps
     pad = jnp.zeros(demod.shape[:-1]
@@ -121,10 +129,16 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         lambda d, s: correlator.extract_burst_symbols(d, s, sps)
     )(demod_p, starts)
     dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
+    # per-channel mean band power: rejects FM "capture" ghosts — an idle
+    # channel demodulating a strong neighbor's (or numerical) leakage
+    # decodes cleanly (FM is amplitude-invariant) but at 20+ dB lower
+    # power; see runtime/streamer.BurstReport.rssi
+    chan_power = jnp.mean(ych[..., 0] ** 2 + ych[..., 1] ** 2, axis=-1)
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,
         "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
+        "chan_power": chan_power,
     }
 
 
@@ -156,6 +170,8 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
     c_loc = M // csize
     h = jnp.asarray(chz.prototype_taps(M, T))
     sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+    split = (chz.default_split(M) if spec.transform_split < 0
+             else spec.transform_split)
 
     def step(word_pairs):
         # ---- TX stage: channels shard the superframe synthesis ----
@@ -185,7 +201,9 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
             x_ext = halo_exchange_left(xl, L - Phop, "time", 0)
             tidx = lax.axis_index("time")
             hop0 = tidx * (xl.shape[0] // Phop)
-            ych = chz._analyze_block_chmajor(x_ext, h, M, T, hop0 % 2)
+            ych = chz._analyze_block_chmajor(
+                x_ext, h, M, T, hop0 % 2, spec.transform_bf16, split,
+                spec.fold)
             # channel sharding for the per-channel stage
             cidx = lax.axis_index("chan")
             ymine = lax.dynamic_slice_in_dim(ych, cidx * c_loc, c_loc, 0)

@@ -34,10 +34,13 @@ from amps_tpu.tx.focc import FoccStream, focc_frames_symbols
 
 
 @functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
-                                             "want_demod"))
+                                             "want_demod", "bf16", "split",
+                                             "fold"))
 def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
                      M: int, T: int, sps: int, max_bursts: int,
-                     threshold: float, want_demod: bool = False):
+                     threshold: float, want_demod: bool = False,
+                     bf16: bool = False, split: int = 0,
+                     fold: str = "conv"):
     """One streaming RX step with carried state.
 
     x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
@@ -48,7 +51,8 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     """
     h = jnp.asarray(chz.prototype_taps(M, T))
     x_ext = jnp.concatenate([hist, x], axis=0)
-    ych = chz._analyze_block_chmajor(x_ext, h, M, T, hop_parity)
+    ych = chz._analyze_block_chmajor(x_ext, h, M, T, hop_parity, bf16,
+                                     split, fold)
     Nh = ych.shape[1]
     demod_new, last = quadrature_demod(ych, 1.0, prev_iq)  # (M, Nh)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
@@ -105,6 +109,8 @@ class MultichannelReceiver:
         self.M, self.T = M, T
         self.sps = spec.chan_sps
         self.max_bursts = max_bursts
+        self._split = (chz.default_split(M) if spec.transform_split < 0
+                       else spec.transform_split)
         self.threshold = threshold
         self.policy = policy
         self.on_burst = on_burst
@@ -129,7 +135,9 @@ class MultichannelReceiver:
          self._carry, self._prev, nh, chan_power, demod) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
             self.M, self.T, self.sps, self.max_bursts, self.threshold,
-            want_demod=self._tap is not None)
+            want_demod=self._tap is not None,
+            bf16=self.spec.transform_bf16, split=self._split,
+            fold=self.spec.fold)
         if self._tap is not None and demod is not None:
             np.asarray(demod).astype(np.float32).tofile(self._tap)
         dec = decoder.decode_bursts(hard, policy=self.policy)

@@ -47,24 +47,22 @@ def trigger_template(sps: int) -> np.ndarray:
 
 @functools.cache
 def _detection_kernels(sps: int):
-    """(4, 2, L) conv kernel computing, in ONE conv over the stacked
-    input planes [x, x^2]:
-      out0 = corr(x, full template)    out1 = sliding energy (full)
-      out2 = corr(x, word-sync tail)   out3 = sliding energy (tail)
-    Channel alignment: the tail kernels are zero-padded at the front so
-    every output indexes the same trigger-start offset.
+    """(2, 1, L) conv kernel over x computing
+      out0 = corr(x, full template)    out1 = corr(x, word-sync tail)
+    (the tail kernel zero-padded at the front so both outputs index the
+    same trigger-start offset).  The sliding energies the quality
+    normalization needs are NOT in the conv — they are box sums,
+    computed in O(n) from one cumsum of x^2 (vs O(n*L) conv taps).
     """
     tmpl = trigger_template(sps)
     L = len(tmpl)
     ws_off = 2 * 26 * sps
-    k = np.zeros((4, 2, L), np.float32)
+    k = np.zeros((2, 1, L), np.float32)
     k[0, 0] = tmpl
-    k[1, 1] = 1.0
-    k[2, 0, ws_off:] = tmpl[ws_off:]
-    k[3, 1, ws_off:] = 1.0
+    k[1, 0, ws_off:] = tmpl[ws_off:]
     tnorm = float(np.sqrt(np.sum(tmpl * tmpl)))
     wsnorm = float(np.sqrt(np.sum(tmpl[ws_off:] ** 2)))
-    return k, tnorm, wsnorm
+    return k, ws_off, tnorm, wsnorm
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
@@ -80,16 +78,28 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     length around each accepted peak.
     """
     x = jnp.asarray(demod, jnp.float32)
-    kern, tnorm, wsnorm = _detection_kernels(sps)
+    kern, ws_off, tnorm, wsnorm = _detection_kernels(sps)
     L = kern.shape[-1]
     n = x.shape[-1]
-    planes = jnp.stack([x, x * x], axis=-2)        # (..., 2, n)
-    flat = planes.reshape((-1, 2, n))
+    flat = x.reshape((-1, 1, n))
     out = lax.conv_general_dilated(
         flat, jnp.asarray(kern), window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))   # (B, 4, n-L+1)
-    out = out.reshape(x.shape[:-1] + (4, out.shape[-1]))
-    corr, energy, ws_corr, ws_energy = (out[..., i, :] for i in range(4))
+        dimension_numbers=("NCH", "OIH", "NCH"))   # (B, 2, n-L+1)
+    out = out.reshape(x.shape[:-1] + (2, out.shape[-1]))
+    corr, ws_corr = out[..., 0, :], out[..., 1, :]
+    no = out.shape[-1]                             # n - L + 1
+    # sliding window energies as cumsum-of-squares box differences.
+    # f32 cumsum differences carry ~eps*total absolute error, which in
+    # silent stretches rounds a ~0 window energy to anything in
+    # ±eps*total — floor at a scale-aware epsilon well above that (real
+    # windows sit orders of magnitude higher; Cauchy-Schwarz then keeps
+    # silence quality ~0 instead of exploding).
+    cs = jnp.cumsum(x * x, axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+    floor = jnp.maximum(jnp.float32(1e-9), 1e-5 * cs[..., -1:])
+    energy = jnp.maximum(cs[..., L: L + no] - cs[..., :no], floor)
+    ws_energy = jnp.maximum(
+        cs[..., L: L + no] - cs[..., ws_off: ws_off + no], floor)
     # cosine similarity of the full template AND of the word-sync tail:
     # idle dotting alone correlates ~0.7 with the full template (52 of
     # its 74 symbols are dotting) but ~0 with the tail; a real trigger

@@ -110,3 +110,54 @@ def test_synth_analyze_roundtrip():
     # silent channels stay silent
     assert _mag(Y2[8 * T:, 0]).max() < 0.05
     assert _mag(Y2[8 * T:, 4]).max() < 0.05
+
+
+def test_split_transform_matches_dense():
+    """Two-stage Cooley-Tukey channel transform == dense matmul."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    M2 = 256
+    spec = ch.ChannelizerSpec(num_channels=M2, taps_per_phase=4)
+    n = M2 * 8
+    x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    xe = jnp.concatenate(
+        [jnp.zeros((spec.ntaps - spec.hop, 2), jnp.float32),
+         jnp.asarray(x)], axis=0)
+    h = ch.prototype_taps(M2, 4)
+    dense = np.asarray(ch._analyze_block_chmajor(xe, h, M2, 4, 0, False, 0))
+    split = np.asarray(ch._analyze_block_chmajor(
+        xe, h, M2, 4, 0, False, 128))
+    scale = np.abs(dense).max()
+    assert np.abs(dense - split).max() < 1e-4 * max(scale, 1.0)
+
+
+def test_shift_fold_matches_conv_fold():
+    """Unrolled shifted-multiply fold == grouped-conv fold."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(8)
+    n = M * 64
+    x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    xe = jnp.concatenate(
+        [jnp.zeros((SPEC.ntaps - P, 2), jnp.float32), jnp.asarray(x)],
+        axis=0)
+    h = ch.prototype_taps(M, T)
+    conv = np.asarray(ch._analyze_block_chmajor(xe, h, M, T, 0, False, 0,
+                                                "conv"))
+    shift = np.asarray(ch._analyze_block_chmajor(xe, h, M, T, 0, False, 0,
+                                                 "shift"))
+    assert np.abs(conv - shift).max() < 1e-5 * max(np.abs(conv).max(), 1.0)
+
+
+def test_auto_split_streaming_matches_dense():
+    """analyze() with auto split (engages at M>=512) == forced dense."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    spec = ch.ChannelizerSpec(num_channels=512, taps_per_phase=2)
+    assert ch.default_split(512) == 128
+    n = 512 * 4
+    x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+    ya, _ = ch.analyze(x, spec, ch.analyzer_init(spec), chmajor=True)
+    yd, _ = ch.analyze(x, spec, ch.analyzer_init(spec), chmajor=True,
+                       split=0)
+    ya, yd = np.asarray(ya), np.asarray(yd)
+    assert np.abs(ya - yd).max() < 1e-4 * max(np.abs(yd).max(), 1.0)
