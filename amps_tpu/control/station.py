@@ -25,15 +25,21 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
 from amps_tpu.codec import words as W
 from amps_tpu.config import PipelineConfig, SystemConfig
 from amps_tpu.control import fields
+from amps_tpu.control.supervision import (ALERTING, CONVERSATION,
+                                          ChannelSupervisor,
+                                          SupervisionConfig,
+                                          SupervisionEvent)
 from amps_tpu.tx.focc import FoccStream, STREAM_BOTH
 from amps_tpu.tx.fvc import FvcStream
+
+RELEASE_ORDER = 3   # 553 Table 3.7.1-1 release; not present in reference
 
 
 @dataclasses.dataclass
@@ -67,6 +73,11 @@ class BaseStation:
         # (the reference hardcodes 355 for page responses and 356 for
         # originations, lib/recc_decode_impl.cc:205,252)
         self._vc_plan = self.system.voice_channels
+        # per-voice-channel SAT/ST supervision (an extension over the
+        # reference, which never verifies the transponded SAT —
+        # control/supervision.py)
+        self.supervision_config = SupervisionConfig()
+        self.supervisors: Dict[int, ChannelSupervisor] = {}
 
     # -- plumbing ----------------------------------------------------------
 
@@ -141,6 +152,7 @@ class BaseStation:
         alert = W.fvc_word1_general(self.system.scc, 0, 0, 1)
         self._set_fvc(alert, timer=self.system.fvc_alert_repeats)
         self._set_mutes(fvc_mute=False, audio_mute=True)
+        self._start_supervision(chan, ALERTING)
 
     def _handle_registration(self, wa, wb, words):
         """Registration order -> audit-order confirmation
@@ -195,8 +207,49 @@ class BaseStation:
                                                chan)
         self._push_focc(word1, word2)
         self._set_mutes(fvc_mute=True, audio_mute=False)
+        if not (dialed and dialed[0] == "0"):
+            # originating mobile is already off-hook: conversation state
+            self._start_supervision(chan, CONVERSATION)
         self._emit("command", f"page {dialed}")
         self.handle_command(f"page {dialed}")
+
+    # -- SAT/ST supervision (extension; control/supervision.py) ------------
+
+    def _start_supervision(self, chan: int, state: str) -> None:
+        sup = ChannelSupervisor(chan, self.system.scc,
+                                self.supervision_config,
+                                on_event=self._on_supervision_event,
+                                state=state)
+        if state == ALERTING:
+            sup.begin_alert()
+        self.supervisors[chan] = sup
+        self._emit("supervision", (chan, state))
+
+    def _on_supervision_event(self, ev: SupervisionEvent) -> None:
+        self._emit("supervision_event", ev)
+        if ev.kind == "release":
+            self.release_call(ev.channel, ev.reason)
+        elif ev.kind == "answer":
+            self._debug(f"mobile on channel {ev.channel} answered\n")
+            self.handle_command("fvc off")  # voice path up
+
+    def push_supervision(self, chan: int, levels, power) -> None:
+        """Feed per-frame [SAT0-2, ST] amplitudes + band power for one
+        voice channel (from rx.voice.supervision_levels)."""
+        sup = self.supervisors.get(chan)
+        if sup is not None:
+            sup.push_frames(levels, power)
+
+    def release_call(self, chan: int, reason: str = "") -> None:
+        """Send the FVC release order and tear the channel down."""
+        sup = self.supervisors.pop(chan, None)
+        self._debug(f"releasing channel {chan}: {reason}\n")
+        rel = W.fvc_word1_general(self.system.scc, 0, 0, RELEASE_ORDER)
+        # the FVC timer mechanism self-emits 'fvc off' after the order
+        # has repeated (the reference's timerhack, lib/fvc_impl.cc:163)
+        self._set_fvc(rel, timer=self.system.fvc_alert_repeats)
+        self._set_mutes(fvc_mute=False, audio_mute=True)
+        self._emit("release", (chan, reason))
 
     # -- operator commands (lib/command_processor_impl.cc:84-117) ----------
 

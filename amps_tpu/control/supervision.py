@@ -1,0 +1,174 @@
+"""Voice-channel supervision: SAT transponder check + signaling tone.
+
+The reference has NO supervision — the RVC variant only re-broadcasts
+audio (SURVEY.md §2 'RVC monitor variant'); SAT is generated on TX
+(grc/ampsbs.grc:360) but never verified on RX, so a faded mobile keeps
+its channel forever.  This module adds the TIA/EIA-553 land-station
+side that gr-amps left out (a conscious extension, docs/PARITY.md):
+
+* the mobile transponds the SAT it hears back on the RVC; the land
+  station confirms the returned SAT matches its own SCC and releases
+  the call after a fade timeout if it does not (553 §3.8 / §2.4.2 —
+  nominal 5 s);
+* the 10 kHz signaling tone (ST, 553 §2.7.1.2) signals call progress:
+  ST on while alerting (ringing), answer = ST drops, flash request =
+  400 ms ST burst, mobile release = 1.8 s ST;
+* carrier loss (RVC band power below threshold) counts as SAT loss —
+  this also covers mobiles going quiet (DTX-style discontinuities are
+  tolerated up to the same fade timeout).
+
+Device side: rx.voice.supervision_levels measures [SAT0-2, ST]
+amplitudes per 10 ms frame as one batched matmul; this module is the
+pure-host consumer (the control plane runs on the host by design,
+SURVEY.md §1 control/data split).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SupervisionConfig:
+    frame_s: float = 0.01          # measurement frame (10 ms)
+    sat_on_ratio: float = 0.5      # SAT present if level > ratio * nominal
+    st_on_ratio: float = 0.5       # ST present if level > ratio * nominal
+    sat_nominal: float = 0.05      # TX SAT amplitude (grc/ampsbs.grc:360)
+    st_nominal: float = 0.05       # mobile ST deviation, normalized alike
+    sat_margin_db: float = 6.0     # right SCC must beat others by this
+    fade_timeout_s: float = 5.0    # SAT/carrier loss -> release (553 §2.4.2)
+    st_release_s: float = 1.8      # ST >= 1.8 s -> mobile release
+    st_flash_min_s: float = 0.25   # 400 ms flash window (553 §2.7.2)
+    st_flash_max_s: float = 0.8
+    alert_timeout_s: float = 65.0  # unanswered alert -> release
+    min_power: float = 1e-6        # RVC carrier-present gate
+
+
+# call states
+IDLE = "idle"
+ALERTING = "alerting"            # FVC alert sent, waiting for answer
+CONVERSATION = "conversation"
+RELEASED = "released"
+
+
+@dataclasses.dataclass
+class SupervisionEvent:
+    kind: str       # answer|flash|release|sat_lost|sat_back
+    channel: int
+    reason: str = ""
+    t: float = 0.0  # seconds since supervision started
+
+
+class ChannelSupervisor:
+    """Per-voice-channel supervision state machine.
+
+    Feed it measurement frames (from rx.voice.supervision_levels) via
+    ``push_frames``; it emits SupervisionEvents through the callback.
+    """
+
+    def __init__(self, channel: int, scc: int,
+                 config: Optional[SupervisionConfig] = None,
+                 on_event: Optional[Callable[[SupervisionEvent], None]] = None,
+                 state: str = CONVERSATION):
+        self.channel = channel
+        self.scc = scc
+        self.cfg = config or SupervisionConfig()
+        self.on_event = on_event
+        self.state = state
+        self.t = 0.0
+        self._sat_loss_t = 0.0     # continuous seconds without good SAT
+        self._st_run_t = 0.0       # continuous seconds of ST present
+        self._alert_t = 0.0
+        self._st_seen_in_alert = False
+        self.events: List[SupervisionEvent] = []
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _emit(self, kind: str, reason: str = "") -> None:
+        ev = SupervisionEvent(kind, self.channel, reason, self.t)
+        self.events.append(ev)
+        if self.on_event:
+            self.on_event(ev)
+
+    def _release(self, reason: str) -> None:
+        if self.state != RELEASED:
+            self.state = RELEASED
+            self._emit("release", reason)
+
+    # -- state transitions --------------------------------------------------
+
+    def begin_alert(self) -> None:
+        """FVC alert order sent; mobile should ring (ST on) until answer."""
+        self.state = ALERTING
+        self._alert_t = 0.0
+        self._st_seen_in_alert = False
+
+    def begin_conversation(self) -> None:
+        self.state = CONVERSATION
+        self._st_run_t = 0.0
+
+    def push_frames(self, levels, power) -> None:
+        """levels: (F, 4) amplitudes [SAT0, SAT1, SAT2, ST]; power: (F,)
+        demod band power — both for THIS channel (one row of the
+        batched device measurement)."""
+        cfg = self.cfg
+        levels = np.asarray(levels)
+        power = np.asarray(power)
+        margin = 10.0 ** (cfg.sat_margin_db / 20.0)
+        for f in range(levels.shape[0]):
+            if self.state in (IDLE, RELEASED):
+                self.t += cfg.frame_s
+                continue
+            sat = levels[f, :3]
+            st = levels[f, 3]
+            mine = sat[self.scc]
+            others = max(sat[i] for i in range(3) if i != self.scc)
+            carrier = power[f] > cfg.min_power
+            sat_ok = (carrier
+                      and mine > cfg.sat_on_ratio * cfg.sat_nominal
+                      and mine > others * margin)
+            st_on = carrier and st > cfg.st_on_ratio * cfg.st_nominal
+            self._step(sat_ok, st_on)
+            self.t += cfg.frame_s
+
+    def _step(self, sat_ok: bool, st_on: bool) -> None:
+        cfg = self.cfg
+        # SAT / carrier fade timing (553 §2.4.2)
+        was_lost = self._sat_loss_t > 0.0
+        if sat_ok or (st_on and self.state == ALERTING):
+            # during alerting the mobile sends ST; treat it as proof of
+            # life even if SAT measurement is degraded by the tone
+            if was_lost and self._sat_loss_t >= cfg.frame_s * 3:
+                self._emit("sat_back")
+            self._sat_loss_t = 0.0
+        else:
+            self._sat_loss_t += cfg.frame_s
+            if abs(self._sat_loss_t - cfg.frame_s * 3) < cfg.frame_s / 2:
+                self._emit("sat_lost")
+            if self._sat_loss_t >= cfg.fade_timeout_s:
+                self._release("SAT fade timeout")
+                return
+
+        if self.state == ALERTING:
+            self._alert_t += cfg.frame_s
+            if st_on:
+                self._st_seen_in_alert = True
+            elif self._st_seen_in_alert:
+                # ST drop after ringing = answer (553 §2.7.2)
+                self.begin_conversation()
+                self._emit("answer")
+                return
+            if self._alert_t >= cfg.alert_timeout_s:
+                self._release("alert timeout (no answer)")
+        elif self.state == CONVERSATION:
+            if st_on:
+                self._st_run_t += cfg.frame_s
+                if self._st_run_t >= cfg.st_release_s:
+                    self._release("mobile release (ST)")
+            else:
+                if cfg.st_flash_min_s <= self._st_run_t <= cfg.st_flash_max_s:
+                    self._emit("flash")
+                self._st_run_t = 0.0

@@ -1,0 +1,149 @@
+"""SAT/ST supervision: device tone measurement + host call supervision.
+
+Extension over the reference (it never verifies the transponded SAT;
+SURVEY.md §5 'failure detection: none').  Scenarios follow TIA/EIA-553
+§2.4.2 (SAT fade), §2.7.1.2/§2.7.2 (signaling tone: ringing, answer,
+flash 400 ms, release 1.8 s).
+"""
+
+import numpy as np
+import pytest
+
+from amps_tpu.config import SystemConfig
+from amps_tpu.control.station import BaseStation
+from amps_tpu.control.supervision import (ALERTING, CONVERSATION, RELEASED,
+                                          ChannelSupervisor,
+                                          SupervisionConfig)
+from amps_tpu.rx.voice import ST_INDEX, supervision_levels
+
+FS = 60_000
+FRAME = 600  # 10 ms
+
+
+def _tone_demod(seconds, sat_hz=6000.0, sat_amp=0.05, st=False,
+                st_amp=0.05, noise=0.0, seed=0):
+    """Synthesize an RVC FM-demod stream: SAT + optional ST + noise."""
+    n = int(seconds * FS)
+    t = np.arange(n) / FS
+    x = np.zeros(n, np.float32)
+    if sat_amp:
+        x += sat_amp * np.cos(2 * np.pi * sat_hz * t).astype(np.float32)
+    if st:
+        x += st_amp * np.cos(2 * np.pi * 10_000.0 * t).astype(np.float32)
+    if noise:
+        x += np.random.default_rng(seed).normal(
+            0, noise, n).astype(np.float32)
+    return x
+
+
+def _frames(x):
+    lv, pw = supervision_levels(x, FRAME, FS)
+    return np.asarray(lv), np.asarray(pw)
+
+
+def test_supervision_levels_measures_tones():
+    x = _tone_demod(0.2, sat_amp=0.05, st=True, st_amp=0.08, noise=0.01)
+    lv, pw = _frames(x)
+    assert lv.shape == (20, 4) and pw.shape == (20,)
+    assert np.allclose(lv[:, 1], 0.05, atol=0.01)      # SCC=1 SAT
+    assert np.allclose(lv[:, ST_INDEX], 0.08, atol=0.01)
+    assert lv[:, 0].max() < 0.02 and lv[:, 2].max() < 0.02
+    silent, _ = _frames(_tone_demod(0.1, sat_amp=0.0))
+    assert silent.max() < 1e-3
+
+
+def test_wrong_scc_releases_after_fade_timeout():
+    cfg = SupervisionConfig(fade_timeout_s=1.0)
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    # mobile transponds the WRONG SAT (5970 = SCC 0)
+    lv, pw = _frames(_tone_demod(1.5, sat_hz=5970.0))
+    sup.push_frames(lv, pw)
+    assert sup.state == RELEASED
+    kinds = [e.kind for e in sup.events]
+    assert "sat_lost" in kinds and kinds[-1] == "release"
+    assert "SAT fade" in sup.events[-1].reason
+
+
+def test_short_fade_recovers():
+    sup = ChannelSupervisor(355, scc=1, state=CONVERSATION)
+    lv1, pw1 = _frames(_tone_demod(0.5))
+    lv2, pw2 = _frames(_tone_demod(0.5, sat_amp=0.0))   # 0.5 s fade
+    sup.push_frames(lv1, pw1)
+    sup.push_frames(lv2, pw2)
+    sup.push_frames(lv1, pw1)
+    assert sup.state == CONVERSATION
+    kinds = [e.kind for e in sup.events]
+    assert "sat_lost" in kinds and "sat_back" in kinds
+
+
+def test_alert_answer_flash_release_sequence():
+    sup = ChannelSupervisor(355, scc=1, state=ALERTING)
+    sup.begin_alert()
+    # ringing: ST on (mobile transponds SAT too)
+    lv, pw = _frames(_tone_demod(1.0, st=True))
+    sup.push_frames(lv, pw)
+    assert sup.state == ALERTING
+    # answer: ST drops, SAT stays
+    lv, pw = _frames(_tone_demod(1.0))
+    sup.push_frames(lv, pw)
+    assert sup.state == CONVERSATION
+    assert [e.kind for e in sup.events] == ["answer"]
+    # flash: 400 ms ST burst
+    lv, pw = _frames(_tone_demod(0.4, st=True))
+    sup.push_frames(lv, pw)
+    lv, pw = _frames(_tone_demod(0.3))
+    sup.push_frames(lv, pw)
+    assert [e.kind for e in sup.events] == ["answer", "flash"]
+    # hang-up: 1.8 s ST
+    lv, pw = _frames(_tone_demod(2.0, st=True))
+    sup.push_frames(lv, pw)
+    assert sup.state == RELEASED
+    assert sup.events[-1].kind == "release"
+    assert "ST" in sup.events[-1].reason
+
+
+def test_alert_timeout_releases():
+    cfg = SupervisionConfig(alert_timeout_s=2.0)
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=ALERTING)
+    sup.begin_alert()
+    lv, pw = _frames(_tone_demod(2.5, st=True))   # rings forever
+    sup.push_frames(lv, pw)
+    assert sup.state == RELEASED
+    assert "no answer" in sup.events[-1].reason
+
+
+def test_station_supervises_paged_call():
+    bs = BaseStation()
+    bs.handle_command("page 5551234567")
+    # drive through the public dispatch with synthesized field words
+    from amps_tpu.tx import recc_ms
+    words = recc_ms.page_response_words("5551234567")
+    ok = np.ones(7, bool)
+    w7 = np.zeros((7, 36), np.uint8)
+    w7[: len(words)] = words
+    bs.handle_burst(w7, ok)
+    chan = bs.system.voice_channels[0]
+    assert chan in bs.supervisors
+    assert bs.supervisors[chan].state == ALERTING
+    assert bs.fvc_mute is False and bs.audio_mute is True
+
+    # ringing then answer
+    lv, pw = _frames(_tone_demod(0.5, st=True))
+    bs.push_supervision(chan, lv, pw)
+    lv, pw = _frames(_tone_demod(0.5))
+    bs.push_supervision(chan, lv, pw)
+    assert bs.supervisors[chan].state == CONVERSATION
+    assert bs.fvc_mute is True and bs.audio_mute is False  # voice path up
+
+    # SAT fade to release (shorten the timeout to keep the test fast)
+    bs.supervisors[chan].cfg = SupervisionConfig(fade_timeout_s=0.5)
+    lv, pw = _frames(_tone_demod(1.0, sat_amp=0.0))
+    bs.push_supervision(chan, lv, pw)
+    assert chan not in bs.supervisors
+    rel = [e for e in bs.events if e.kind == "release"]
+    assert rel and rel[-1].payload[0] == chan
+    # release order went out on the FVC with the timer armed
+    fvc = [e for e in bs.events if e.kind == "fvc_words"]
+    assert fvc, "no FVC words emitted"
+    rel_word, timer = fvc[-1].payload
+    assert timer > 0
