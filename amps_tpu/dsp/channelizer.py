@@ -195,10 +195,11 @@ def synthesizer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("M", "T", "bf16", "split", "fold"))
+                   static_argnames=("M", "T", "bf16", "split", "fold",
+                                    "planar"))
 def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
                            bf16: bool = False, split: int = 0,
-                           fold: str = "conv"):
+                           fold: str = "conv", planar: bool = False):
     """x_ext: (..., L-P+N, 2) riq with history prepended (N = Nh*P).
     Returns Y (..., M, Nh, 2) CHANNEL-major — the layout the per-channel
     demod/correlator stages consume with zero transposes.
@@ -209,7 +210,11 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     split=M2 (>0) uses the two-stage Cooley-Tukey transform (see
     _dft_split_mats); fold="shift" computes the polyphase fold as T
     unrolled shifted multiply-adds (pure VPU elementwise, no grouped
-    conv) — same numerics up to f32 summation order."""
+    conv) — same numerics up to f32 summation order.
+    planar=True returns (..., 2, M, Nh) — I/Q as separate planes
+    instead of a (..., 2)-minor axis.  A minor dim of 2 pads TPU
+    (8, 128) tiles at 1.6% lane utilization; downstream per-channel
+    stages (demod, correlation) should consume planes."""
     L = M * T
     P = M // 2
     n_ext = x_ext.shape[-2]
@@ -279,6 +284,8 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     yr2 = yr * rc - yi * rs
     yi2 = yr * rs + yi * rc
     sgn = jnp.swapaxes(_hop_sign(M, Nh, hop0_parity), -1, -2)    # (M, Nh)
+    if planar:
+        return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-3)        # (..., 2, M, Nh)
     return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-1)            # (..., M, Nh, 2)
 
 
@@ -323,23 +330,31 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
 
 def analyze(x, spec: ChannelizerSpec, state: AnalyzerState,
             chmajor: bool = False, bf16: bool = False,
-            split: int = -1, fold: str = "conv"):
+            split: int = -1, fold: str = "conv", planar: bool = False):
     """Streaming analysis: x (..., N, 2), N a multiple of spec.hop.
-    Returns (Y, new state); Y is (..., N/P, M, 2) hop-major, or
-    (..., M, N/P, 2) channel-major when ``chmajor``.
+    Returns (Y, new state); Y is (..., N/P, M, 2) hop-major,
+    (..., M, N/P, 2) channel-major when ``chmajor``, or
+    (..., 2, M, N/P) planar channel-major when also ``planar``.
     split=-1 auto-selects the two-stage transform for large M (see
     default_split); pass 0 to force the dense matmul."""
     P = spec.hop
     n = x.shape[-2]
     assert n % P == 0, f"block length {n} not a multiple of hop {P}"
+    assert chmajor or not planar, "planar output requires chmajor"
     if split < 0:
         split = default_split(spec.num_channels)
     x_ext = jnp.concatenate([state.history, jnp.asarray(x, jnp.float32)],
                             axis=-2)
-    fn = _analyze_block_chmajor if chmajor else _analyze_block
-    Y = fn(x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
-           spec.num_channels, spec.taps_per_phase,
-           jnp.int32(state.hop_idx % 2), bf16, split, fold)
+    if chmajor:
+        Y = _analyze_block_chmajor(
+            x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
+            spec.num_channels, spec.taps_per_phase,
+            jnp.int32(state.hop_idx % 2), bf16, split, fold, planar)
+    else:
+        Y = _analyze_block(
+            x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
+            spec.num_channels, spec.taps_per_phase,
+            jnp.int32(state.hop_idx % 2), bf16, split, fold)
     new_hist = x_ext[..., -(spec.ntaps - P):, :]
     return Y, AnalyzerState(new_hist, state.hop_idx + n // P)
 

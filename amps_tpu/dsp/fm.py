@@ -45,6 +45,29 @@ def fm_modulate(x, sensitivity: float, phase0=0.0):
     return riq.expj(phase), phase[..., -1]
 
 
+def quadrature_demod_planar(xr, xi, gain: float = 1.0, prev=None):
+    """quadrature_demod on planar I/Q planes (TPU-friendly layout: a
+    (..., 2)-minor axis wastes 126/128 lanes of every tile).
+
+    xr, xi: (..., n) float32 planes.  ``prev``: (pr, pi) arrays of
+    shape (...,) — the previous block's last sample — or None.
+    Returns (demod (..., n), (last_r, last_i))."""
+    xr = jnp.asarray(xr, jnp.float32)
+    xi = jnp.asarray(xi, jnp.float32)
+    if prev is None:
+        pr = jnp.zeros_like(xr[..., :1])
+        pi = jnp.zeros_like(xi[..., :1])
+    else:
+        pr = jnp.asarray(prev[0], jnp.float32)[..., None]
+        pi = jnp.asarray(prev[1], jnp.float32)[..., None]
+    sr = jnp.concatenate([pr, xr[..., :-1]], axis=-1)
+    si = jnp.concatenate([pi, xi[..., :-1]], axis=-1)
+    re = xr * sr + xi * si
+    im = xi * sr - xr * si
+    demod = jnp.arctan2(im, re) * jnp.float32(gain)
+    return demod, (xr[..., -1], xi[..., -1])
+
+
 def quadrature_demod(x, gain: float = 1.0, prev=None):
     """GR analog_quadrature_demod_cf: y[n] = gain*arg(x[n] conj(x[n-1])).
 

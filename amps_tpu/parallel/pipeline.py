@@ -36,7 +36,8 @@ from jax import shard_map
 
 from amps_tpu.config import PipelineConfig, SystemConfig
 from amps_tpu.dsp import channelizer as chz
-from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+from amps_tpu.dsp.fm import (fm_modulate_symbols, quadrature_demod,
+                             quadrature_demod_planar)
 from amps_tpu.parallel.halo import halo_exchange_left, add_tail_to_right
 from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx.focc import focc_frames_symbols
@@ -111,14 +112,16 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         x_ext = jnp.concatenate(
             [jnp.zeros((M * T - P, 2), jnp.float32),
              jnp.asarray(x, jnp.float32)], axis=0)
-        ych = analyze_chmajor_pallas(x_ext, M, T, 0, 256)
+        ych = analyze_chmajor_pallas(x_ext, M, T, 0, 256)  # (C, Nh, 2)
+        yr, yi = ych[..., 0], ych[..., 1]
     else:
-        ych, _ = chz.analyze(x, spec.chz_spec,
+        ypl, _ = chz.analyze(x, spec.chz_spec,
                              chz.analyzer_init(spec.chz_spec),
                              chmajor=True, bf16=spec.transform_bf16,
                              split=spec.transform_split,
-                             fold=spec.fold)             # (C, Nh, 2)
-    demod, _ = quadrature_demod(ych)                     # (C, Nh)
+                             fold=spec.fold, planar=True)  # (2, C, Nh)
+        yr, yi = ypl[0], ypl[1]
+    demod, _ = quadrature_demod_planar(yr, yi)           # (C, Nh)
     sps = spec.chan_sps
     pad = jnp.zeros(demod.shape[:-1]
                     + (correlator.CAPTURE_SYMBOLS * sps,), demod.dtype)
@@ -133,7 +136,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     # channel demodulating a strong neighbor's (or numerical) leakage
     # decodes cleanly (FM is amplitude-invariant) but at 20+ dB lower
     # power; see runtime/streamer.BurstReport.rssi
-    chan_power = jnp.mean(ych[..., 0] ** 2 + ych[..., 1] ** 2, axis=-1)
+    chan_power = jnp.mean(yr * yr + yi * yi, axis=-1)
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from amps_tpu.config import SystemConfig
 
 from amps_tpu.dsp import channelizer as chz
-from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+from amps_tpu.dsp.fm import (fm_modulate_symbols,
+                             quadrature_demod_planar)
 from amps_tpu.parallel.pipeline import MultichannelSpec
 from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx.focc import FoccStream, focc_frames_symbols
@@ -51,10 +52,13 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     """
     h = jnp.asarray(chz.prototype_taps(M, T))
     x_ext = jnp.concatenate([hist, x], axis=0)
-    ych = chz._analyze_block_chmajor(x_ext, h, M, T, hop_parity, bf16,
-                                     split, fold)
-    Nh = ych.shape[1]
-    demod_new, last = quadrature_demod(ych, 1.0, prev_iq)  # (M, Nh)
+    ypl = chz._analyze_block_chmajor(x_ext, h, M, T, hop_parity, bf16,
+                                     split, fold, planar=True)  # (2, M, Nh)
+    yr, yi = ypl[0], ypl[1]
+    Nh = yr.shape[-1]
+    demod_new, (lr, li) = quadrature_demod_planar(
+        yr, yi, 1.0, (prev_iq[:, 0], prev_iq[:, 1]))       # (M, Nh)
+    last = jnp.stack([lr, li], axis=-1)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
     padlen = correlator.CAPTURE_SYMBOLS * sps
     demod_p = jnp.concatenate(
@@ -75,7 +79,7 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     # per-channel mean band power this block: lets callers reject FM
     # "capture" ghosts (an idle channel demodulating a strong neighbor's
     # sideband leakage decodes cleanly but at ~20+ dB lower power)
-    chan_power = jnp.mean(ych[..., 0] ** 2 + ych[..., 1] ** 2, axis=-1)
+    chan_power = jnp.mean(yr * yr + yi * yi, axis=-1)
     return (starts, valid, quality, hard, new_hist, new_parity,
             new_carry, last, Nh, chan_power,
             demod_new if want_demod else None)

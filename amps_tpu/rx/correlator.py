@@ -45,24 +45,36 @@ def trigger_template(sps: int) -> np.ndarray:
     return np.repeat(pair, sps)
 
 
+CORR_BLOCK = 512   # output lags per Toeplitz block (MXU-friendly)
+
+
 @functools.cache
 def _detection_kernels(sps: int):
-    """(2, 1, L) conv kernel over x computing
-      out0 = corr(x, full template)    out1 = corr(x, word-sync tail)
-    (the tail kernel zero-padded at the front so both outputs index the
-    same trigger-start offset).  The sliding energies the quality
-    normalization needs are NOT in the conv — they are box sums,
-    computed in O(n) from one cumsum of x^2 (vs O(n*L) conv taps).
+    """Banded Toeplitz matmul operator computing both correlations.
+
+    A 222-tap C=1 conv on TPU re-reads the input once per tap (~7 GB of
+    HBM traffic for a 1024x8192 demod block — measured 9.8 ms, half the
+    whole RX pipeline).  Blocked as a Toeplitz matmul, each input
+    window is read ONCE and all lags ride the MXU:
+
+      out[b*O + j, k] = sum_u x[b*O + j + u] tmpl_k[u]
+                      = (win_b @ T)[j, k],   win_b = x[b*O : b*O+O+L-1]
+
+    T: (O+L-1, 2*O) with T[j:j+L, j] = full template and
+    T[j+ws_off:j+L, O+j] = word-sync tail (zero head keeps both outputs
+    indexed at the same trigger-start offset).
     """
     tmpl = trigger_template(sps)
     L = len(tmpl)
     ws_off = 2 * 26 * sps
-    k = np.zeros((2, 1, L), np.float32)
-    k[0, 0] = tmpl
-    k[1, 0, ws_off:] = tmpl[ws_off:]
+    O = CORR_BLOCK
+    T = np.zeros((O + L - 1, 2 * O), np.float32)
+    for j in range(O):
+        T[j: j + L, j] = tmpl
+        T[j + ws_off: j + L, O + j] = tmpl[ws_off:]
     tnorm = float(np.sqrt(np.sum(tmpl * tmpl)))
     wsnorm = float(np.sqrt(np.sum(tmpl[ws_off:] ** 2)))
-    return k, ws_off, tnorm, wsnorm
+    return T, L, ws_off, tnorm, wsnorm
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
@@ -78,16 +90,20 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     length around each accepted peak.
     """
     x = jnp.asarray(demod, jnp.float32)
-    kern, ws_off, tnorm, wsnorm = _detection_kernels(sps)
-    L = kern.shape[-1]
+    T, L, ws_off, tnorm, wsnorm = _detection_kernels(sps)
+    O = CORR_BLOCK
     n = x.shape[-1]
-    flat = x.reshape((-1, 1, n))
-    out = lax.conv_general_dilated(
-        flat, jnp.asarray(kern), window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))   # (B, 2, n-L+1)
-    out = out.reshape(x.shape[:-1] + (2, out.shape[-1]))
-    corr, ws_corr = out[..., 0, :], out[..., 1, :]
-    no = out.shape[-1]                             # n - L + 1
+    no = n - L + 1                                 # valid lags
+    nblk = -(-no // O)
+    npad = nblk * O + L - 1
+    xp = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (npad - n,), x.dtype)], axis=-1) \
+        if npad > n else x[..., :npad]
+    wins = jnp.stack([xp[..., i * O: i * O + O + L - 1]
+                      for i in range(nblk)], axis=-2)  # (..., nblk, O+L-1)
+    out = wins @ jnp.asarray(T)                    # (..., nblk, 2*O)
+    corr = out[..., :O].reshape(x.shape[:-1] + (nblk * O,))[..., :no]
+    ws_corr = out[..., O:].reshape(x.shape[:-1] + (nblk * O,))[..., :no]
     # sliding window energies as cumsum-of-squares box differences.
     # f32 cumsum differences carry ~eps*total absolute error, which in
     # silent stretches rounds a ~0 window energy to anything in

@@ -158,3 +158,28 @@ def test_decoder_repeat_fallback(rng):
     assert bool(np.asarray(dec.word_ok)[0])
     assert int(np.asarray(dec.repeat_used)[0]) >= 3
     assert np.array_equal(np.asarray(dec.words)[0], words[0])
+
+
+def test_toeplitz_correlation_matches_numpy_direct(rng):
+    """The blocked-Toeplitz matmul correlator == direct correlation."""
+    sps = 3
+    x = rng.normal(0, 1.0, (3, 4000)).astype(np.float32)
+    # plant a clean trigger in row 1 so a real peak exists
+    tmpl = correlator.trigger_template(sps)
+    x[1, 700:700 + len(tmpl)] = tmpl * 0.4
+    starts, valid, quality = correlator.find_bursts(x, sps, 2, 0.55)
+    L = len(tmpl)
+    ws_off = 2 * 26 * sps
+    for c in range(3):
+        corr = np.correlate(x[c], tmpl, "valid")
+        wcorr = np.correlate(x[c], tmpl[ws_off:], "valid")[ws_off:]
+        en = np.convolve(x[c] ** 2, np.ones(L), "valid")
+        wen = np.convolve(x[c] ** 2, np.ones(L - ws_off), "valid")[ws_off:]
+        qf = corr / (np.sqrt(np.maximum(en, 1e-9)) * np.sqrt((tmpl**2).sum()))
+        qw = wcorr / (np.sqrt(np.maximum(wen, 1e-9))
+                      * np.sqrt((tmpl[ws_off:] ** 2).sum()))
+        qd = np.minimum(qf, qw)
+        want = int(np.argmax(qd))
+        got = int(np.asarray(starts)[c, 0]) - L
+        assert abs(got - want) <= 0, (c, got, want)
+        assert abs(float(np.asarray(quality)[c, 0]) - qd[want]) < 2e-3
