@@ -109,8 +109,9 @@ def _decode_tables(n_code: int):
 
 def _encode(info, k_info: int, n_out: int):
     info = jnp.asarray(info, dtype=jnp.uint8)
-    P = jnp.asarray(_parity_matrix(k_info), dtype=jnp.int32)
-    parity = (info.astype(jnp.int32) @ P) % 2
+    # f32 matmul: TPU has no fast int matmul; counts <= 51 are exact
+    P = jnp.asarray(_parity_matrix(k_info), dtype=jnp.float32)
+    parity = jnp.mod(info.astype(jnp.float32) @ P, 2.0)
     return jnp.concatenate([info, parity.astype(jnp.uint8)], axis=-1)
 
 
@@ -131,9 +132,9 @@ def recc_bch_decode(rx48):
     ok=False where the syndrome matches no <=2-error pattern.
     """
     rx48 = jnp.asarray(rx48, dtype=jnp.uint8)
-    H = jnp.asarray(_syndrome_matrix(48), dtype=jnp.int32)
+    H = jnp.asarray(_syndrome_matrix(48), dtype=jnp.float32)
     err_tab, valid_tab = _decode_tables(48)
-    syn_bits = (rx48.astype(jnp.int32) @ H) % 2
+    syn_bits = jnp.mod(rx48.astype(jnp.float32) @ H, 2.0).astype(jnp.int32)
     idx = packbits(syn_bits, jnp.int32)
     err = jnp.asarray(err_tab)[idx]
     ok = jnp.asarray(valid_tab)[idx]
@@ -148,9 +149,9 @@ def focc_bch_decode(rx40):
     loopback tests and the MS simulator.
     """
     rx40 = jnp.asarray(rx40, dtype=jnp.uint8)
-    H = jnp.asarray(_syndrome_matrix(40), dtype=jnp.int32)
+    H = jnp.asarray(_syndrome_matrix(40), dtype=jnp.float32)
     err_tab, valid_tab = _decode_tables(40)
-    syn_bits = (rx40.astype(jnp.int32) @ H) % 2
+    syn_bits = jnp.mod(rx40.astype(jnp.float32) @ H, 2.0).astype(jnp.int32)
     idx = packbits(syn_bits, jnp.int32)
     err = jnp.asarray(err_tab)[idx]
     ok = jnp.asarray(valid_tab)[idx]

@@ -118,6 +118,31 @@ def _dft_split_mats(M: int, M2: int):
             np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
+@functools.cache
+def _dft_mats_folded(M: int):
+    """Transform matrices with the polyphase permutation absorbed.
+
+    The fold produces two banks fo/fe (odd/even q_w phases); the
+    classic path materializes v[r] = {fo[P-1-r], fe[M-1-r]} (flip +
+    concat + transpose) before the (M, M) matmul.  Absorbing the
+    permutation into the matrix columns instead,
+      y[k,n] = sum_q Eo[k,q] fo[n,q] + Ee[k,q] fe[n,q],
+      Eo[k,q] = E+[k, P-1-q],  Ee[k,q] = E+[k, M-1-q],
+    the banks feed the MXU directly in their natural (Nh, P) layout —
+    no flip, no concat, no transpose materialization.
+    Returns (Co, So, Ce, Se), each (M, P) float32.
+    """
+    P = M // 2
+    k = np.arange(M)[:, None]
+    q = np.arange(P)[None, :]
+    ang_o = 2.0 * np.pi * ((k * (P - 1 - q)) % M) / M
+    ang_e = 2.0 * np.pi * ((k * (M - 1 - q)) % M) / M
+    return (np.cos(ang_o).astype(np.float32),
+            np.sin(ang_o).astype(np.float32),
+            np.cos(ang_e).astype(np.float32),
+            np.sin(ang_e).astype(np.float32))
+
+
 def default_split(M: int) -> int:
     """Auto split factor M2 for the channel transform: two-stage with a
     128-deep first contraction once M is large enough that the dense
@@ -234,6 +259,44 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     k_even = coef[:, :P]                                         # q_w <  P
     k_odd = coef[:, P:]                                          # q_w >= P
     batch = x_ext.shape[:-2]
+    if fold == "bank":
+        # Fully planar path: deinterleave once, fold both banks as
+        # shifted multiply-adds on (2, nblk, P) planes, and apply the
+        # permutation-absorbed transform matrices straight to the banks
+        # (no flip/concat/transpose between fold and MXU).
+        xpl = jnp.swapaxes(x_ext[..., : nblk * P, :], -1, -2)    # (..., 2, n)
+        bl = xpl.reshape(batch + (2, nblk, P)).astype(jnp.float32)
+        ke = k_even                                              # (T, P)
+        ko = k_odd
+        acc_e = ke[0] * bl[..., 0:Nh, :]
+        acc_o = ko[0] * bl[..., 1:1 + Nh, :]
+        for t in range(1, T):
+            acc_e = acc_e + ke[t] * bl[..., 2 * t: 2 * t + Nh, :]
+            acc_o = acc_o + ko[t] * bl[..., 2 * t + 1: 2 * t + 1 + Nh, :]
+        # acc_* : (..., 2, Nh, P); fe[n, q] = acc_e[n, q] etc.
+        er, ei = acc_e[..., 0, :, :], acc_e[..., 1, :, :]
+        or_, oi = acc_o[..., 0, :, :], acc_o[..., 1, :, :]
+        Co, So, Ce, Se = (jnp.asarray(a) for a in _dft_mats_folded(M))
+        if bf16:
+            def dot(A, v):
+                return jnp.einsum("kq,...nq->...kn",
+                                  A.astype(jnp.bfloat16),
+                                  v.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+        else:
+            def dot(A, v):
+                return jnp.einsum("kq,...nq->...kn", A, v)
+        yr = dot(Co, or_) - dot(So, oi) + dot(Ce, er) - dot(Se, ei)
+        yi = dot(So, or_) + dot(Co, oi) + dot(Se, er) + dot(Ce, ei)
+        ang = 2.0 * np.pi * np.arange(M) / M
+        rc = jnp.asarray(np.cos(ang), jnp.float32)[:, None]
+        rs = jnp.asarray(np.sin(ang), jnp.float32)[:, None]
+        yr2 = yr * rc - yi * rs
+        yi2 = yr * rs + yi * rc
+        sgn = jnp.swapaxes(_hop_sign(M, Nh, hop0_parity), -1, -2)
+        if planar:
+            return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-3)
+        return jnp.stack([yr2 * sgn, yi2 * sgn], axis=-1)
     if fold == "shift":
         # T unrolled shifted multiply-adds over the (nblk, P, 2) block
         # view — one fused VPU loop, no grouped conv, no input transpose

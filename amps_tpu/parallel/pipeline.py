@@ -177,43 +177,57 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
              else spec.transform_split)
 
     def step(word_pairs):
-        # ---- TX stage: channels shard the superframe synthesis ----
+        # The wideband stages (synthesis, analysis) mix ALL channels, so
+        # their natural parallel axis is time.  Both mesh axes therefore
+        # act as ONE flattened time ring of tsize*csize workers for the
+        # wideband stages (worker w = tidx*csize + cidx handles the w-th
+        # sub-block; halos/overlap-add ride the flattened ring), and an
+        # all_to_all inside each time row reshards hops->channels for
+        # the per-channel stages.  No rank duplicates wideband work.
         def tx_local(wp):
-            # wp: (c_loc, F, 2, 28) on this chan rank, replicated over time
+            # wp: (c_loc, F, 2, 28) on this chan rank, replicated over
+            # time: framing + FSK modulation is genuinely chan-sharded
             syms = focc_frames_symbols(wp, sps)          # (c_loc, n)
             bb, _ = fm_modulate_symbols(syms, sens)      # (c_loc, n, 2)
             # gather all channels (the synthesis transform needs all M)
             bb_all = lax.all_gather(bb, "chan", axis=0, tiled=True)  # (M, n, 2)
             Y = jnp.swapaxes(bb_all, 0, 1)               # (n, M, 2)
-            # time sharding of the hop stream
             n = Y.shape[0]
-            n_loc = n // tsize
-            tidx = lax.axis_index("time")
-            Yl = lax.dynamic_slice_in_dim(Y, tidx * n_loc, n_loc, axis=0)
-            hop0 = tidx * n_loc
+            # pad the hop stream up to the worker ring (trailing hops
+            # synthesize silence; harmless to the per-channel stages)
+            W = tsize * csize
+            npad = -(-n // W) * W
+            if npad != n:
+                Y = jnp.concatenate(
+                    [Y, jnp.zeros((npad - n, M, 2), jnp.float32)], axis=0)
+            n_sub = npad // W
+            w = lax.axis_index("time") * csize + lax.axis_index("chan")
+            Yl = lax.dynamic_slice_in_dim(Y, w * n_sub, n_sub, axis=0)
             xl, tail = chz._synthesize_block(
-                Yl, h, M, T, hop0 % 2,
+                Yl, h, M, T, (w * n_sub) % 2,
                 jnp.zeros((L - Phop, 2), jnp.float32))
-            # overlap-add across the time shards: my tail belongs at the
-            # head of my right neighbor's block
-            xl = add_tail_to_right(xl, tail, "time", 0)
-            return xl                                     # (n_loc*P, 2)
+            # overlap-add: my tail belongs at the head of the next
+            # worker's sub-block (flattened ring crosses row boundaries)
+            xl = add_tail_to_right(xl, tail, ("time", "chan"), 0)
+            return xl                                     # (n_sub*P, 2)
 
         def rx_local(xl):
-            # xl: (N_loc, 2) local wideband; halo then analyze
-            x_ext = halo_exchange_left(xl, L - Phop, "time", 0)
-            tidx = lax.axis_index("time")
-            hop0 = tidx * (xl.shape[0] // Phop)
-            ych = chz._analyze_block_chmajor(
-                x_ext, h, M, T, hop0 % 2, spec.transform_bf16, split,
-                spec.fold)
-            # channel sharding for the per-channel stage
-            cidx = lax.axis_index("chan")
-            ymine = lax.dynamic_slice_in_dim(ych, cidx * c_loc, c_loc, 0)
+            # xl: (N_sub, 2) this worker's wideband sub-block
+            x_ext = halo_exchange_left(xl, L - Phop, ("time", "chan"), 0)
+            n_sub = xl.shape[0] // Phop
+            w = lax.axis_index("time") * csize + lax.axis_index("chan")
+            ypl = chz._analyze_block_chmajor(
+                x_ext, h, M, T, (w * n_sub) % 2, spec.transform_bf16,
+                split, spec.fold, planar=True)           # (2, M, Nh_sub)
+            # reshard channels<->hops within each time row: rank c keeps
+            # channels [c*c_loc, (c+1)*c_loc) over the row's full span
+            # (sub-blocks concatenate in source-rank = time order)
+            ymine = lax.all_to_all(ypl, "chan", split_axis=1,
+                                   concat_axis=2, tiled=True)
             # demod continuity + correlation overlap via time halo
             halo_n = demod_halo + 1
-            yext = halo_exchange_left(ymine, halo_n, "time", 1)
-            demod, _ = quadrature_demod(yext)            # (c_loc, Nh+halo)
+            yext = halo_exchange_left(ymine, halo_n, "time", 2)
+            demod, _ = quadrature_demod_planar(yext[0], yext[1])
             demod = demod[:, 1:]                         # drop seed sample
             padlen = correlator.CAPTURE_SYMBOLS * sps
             demod_p = jnp.concatenate(

@@ -143,6 +143,47 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     return starts, valid, peaks
 
 
+SYM_BLOCK = 128    # symbols per integrate-and-dump matmul block
+
+
+@functools.cache
+def _dump_matrix(sps: int) -> np.ndarray:
+    """(SYM_BLOCK*sps + sps - 1, sps*SYM_BLOCK) blocked integrate-and-
+    dump operator: out[:, p*B + j] = mean(x[p + j*sps : p + (j+1)*sps])
+    for a window of B=SYM_BLOCK symbols.  A direct reshape(nsym, sps)
+    .mean(-1) puts sps(=3) on the minor axis — 3/128 TPU lane
+    utilization, measured 9.6 ms of a 20 ms pipeline; as a windowed
+    matmul the phase streams cost one MXU pass."""
+    B = SYM_BLOCK
+    W = np.zeros((B * sps + sps - 1, sps * B), np.float32)
+    for p in range(sps):
+        for j in range(B):
+            W[p + j * sps: p + (j + 1) * sps, p * B + j] = 1.0 / sps
+    return W
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
+def symbol_phase_streams(demod, sps: int):
+    """(..., n) demod -> (..., sps, nsym) integrate-and-dump streams
+    (phase p stream k = mean(x[p + k*sps : p + (k+1)*sps]))."""
+    x = jnp.asarray(demod, jnp.float32)
+    n = x.shape[-1]
+    nsym = (n - (sps - 1)) // sps
+    B = SYM_BLOCK
+    nblk = -(-nsym // B)
+    win = B * sps + sps - 1
+    npad = (nblk - 1) * B * sps + win
+    xp = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (max(npad - n, 0),), x.dtype)],
+        axis=-1)
+    wins = jnp.stack([xp[..., b * B * sps: b * B * sps + win]
+                      for b in range(nblk)], axis=-2)   # (..., nblk, win)
+    out = wins @ jnp.asarray(_dump_matrix(sps))         # (..., nblk, sps*B)
+    out = out.reshape(x.shape[:-1] + (nblk, sps, B))
+    out = jnp.swapaxes(out, -3, -2)                     # (..., sps, nblk, B)
+    return out.reshape(x.shape[:-1] + (sps, nblk * B))[..., :nsym]
+
+
 @functools.partial(jax.jit, static_argnames=("sps",))
 def extract_burst_symbols(demod, starts, sps: int):
     """Integrate-and-dump capture: for each start index, take
@@ -154,17 +195,11 @@ def extract_burst_symbols(demod, starts, sps: int):
     (dynamic_slice clamps; the streaming wrapper guarantees overlap).
 
     Implementation: integrate-and-dump once per sample phase (sps
-    symbol-rate streams), then slice CAPTURE_SYMBOLS from the stream
-    matching each burst's phase — per-burst work drops from
-    3374*sps samples to 3374.
+    symbol-rate streams, via the blocked matmul above), then slice
+    CAPTURE_SYMBOLS from the stream matching each burst's phase —
+    per-burst work drops from 3374*sps samples to 3374.
     """
-    x = jnp.asarray(demod, jnp.float32)
-    n = x.shape[-1]
-    nsym = (n - (sps - 1)) // sps
-    # phase p symbol k = mean(x[p + k*sps : p + (k+1)*sps])
-    phases = jnp.stack(
-        [x[p: p + nsym * sps].reshape(nsym, sps).mean(axis=-1)
-         for p in range(sps)])                      # (sps, nsym)
+    phases = symbol_phase_streams(demod, sps)       # (sps, nsym)
 
     def one(start):
         start = start.astype(jnp.int32)

@@ -161,3 +161,25 @@ def test_auto_split_streaming_matches_dense():
                        split=0)
     ya, yd = np.asarray(ya), np.asarray(yd)
     assert np.abs(ya - yd).max() < 1e-4 * max(np.abs(yd).max(), 1.0)
+
+
+def test_bank_fold_matches_conv_fold():
+    """Permutation-absorbed two-bank transform == classic path."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    for Mt, Tt in ((8, 8), (16, 4)):
+        spec = ch.ChannelizerSpec(Mt, Tt)
+        n = Mt * 64
+        x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+        xe = jnp.concatenate(
+            [jnp.zeros((spec.ntaps - spec.hop, 2), jnp.float32),
+             jnp.asarray(x)], axis=0)
+        h = ch.prototype_taps(Mt, Tt)
+        for par in (0, 1):
+            conv = np.asarray(ch._analyze_block_chmajor(
+                xe, h, Mt, Tt, par, False, 0, "conv", True))
+            bank = np.asarray(ch._analyze_block_chmajor(
+                xe, h, Mt, Tt, par, False, 0, "bank", True))
+            assert bank.shape == conv.shape == (2, Mt, n // spec.hop)
+            err = np.abs(conv - bank).max()
+            assert err < 1e-5 * max(np.abs(conv).max(), 1.0), (Mt, err)
