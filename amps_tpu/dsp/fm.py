@@ -12,9 +12,39 @@
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from amps_tpu.dsp import iq as riq
+
+
+def fast_atan2(y, x):
+    """Polynomial atan2, |error| < 1e-4 rad.
+
+    GR's quadrature_demod uses gr::fast_atan2f (a table/poly
+    approximation), so an approximated arg() is MORE reference-faithful
+    than the exact transcendental — and several times cheaper on the
+    VPU (exact arctan2 measured 3.3/13 ms of the 1024-channel RX
+    pipeline).  Octant reduction + odd minimax polynomial in z on
+    [0, 1], one divide total.
+    """
+    y = jnp.asarray(y, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-30)
+    z2 = z * z
+    # minimax atan(z) on [0,1] (Estrin; ~1e-5 max error)
+    a = jnp.float32(0.999866)
+    b = jnp.float32(-0.3302995)
+    c = jnp.float32(0.180141)
+    d = jnp.float32(-0.085133)
+    base = z * (a + z2 * (b + z2 * (c + z2 * d)))
+    base = jnp.where(ay > ax, jnp.float32(np.pi / 2) - base, base)
+    base = jnp.where(x < 0, jnp.float32(np.pi) - base, base)
+    return jnp.where(y < 0, -base, base)
 
 
 def fm_modulate_symbols(symbols, sensitivity: float, phase_accum0=0):
@@ -64,7 +94,7 @@ def quadrature_demod_planar(xr, xi, gain: float = 1.0, prev=None):
     si = jnp.concatenate([pi, xi[..., :-1]], axis=-1)
     re = xr * sr + xi * si
     im = xi * sr - xr * si
-    demod = jnp.arctan2(im, re) * jnp.float32(gain)
+    demod = fast_atan2(im, re) * jnp.float32(gain)
     return demod, (xr[..., -1], xi[..., -1])
 
 
@@ -82,5 +112,5 @@ def quadrature_demod(x, gain: float = 1.0, prev=None):
         prev_s = jnp.asarray(prev)[..., None, :]
     shifted = jnp.concatenate([prev_s, x[..., :-1, :]], axis=-2)
     prod = riq.mul_conj(x, shifted)
-    demod = riq.angle(prod) * jnp.float32(gain)
+    demod = fast_atan2(prod[..., 1], prod[..., 0]) * jnp.float32(gain)
     return demod, x[..., -1, :]

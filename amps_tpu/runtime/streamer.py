@@ -103,11 +103,19 @@ class MultichannelReceiver:
                  on_burst: Optional[Callable[[BurstReport], None]] = None,
                  max_bursts: int = 4, threshold: float = 0.55,
                  policy: str = "first_ok",
-                 tap_demod_path: Optional[str] = None):
+                 tap_demod_path: Optional[str] = None,
+                 pipeline_depth: int = 1):
         """``tap_demod_path``: append raw per-channel FM-demod float32
         blocks to this file — the debug-tap role of the reference's
         /tmp/recc.syms file sink (grc/recctest.grc) and AMPS_DEBUG
-        stream dumps (lib/focc_impl.cc:132-135)."""
+        stream dumps (lib/focc_impl.cc:132-135).
+
+        ``pipeline_depth``: device blocks kept in flight.  With depth
+        K > 1, ``push(block_i)`` only forces the host sync for block
+        i-K, so the device computes block i while the host decodes
+        burst reports of earlier blocks (double buffering); call
+        ``flush()`` to drain the tail.  Burst callbacks are then
+        delayed by up to K blocks."""
         self.spec = spec
         M, T = spec.num_channels, spec.taps_per_phase
         self.M, self.T = M, T
@@ -130,35 +138,57 @@ class MultichannelReceiver:
         self._last_seen = np.full(M, -10**12, np.int64)
         self.reports: List[BurstReport] = []
         self._tap = open(tap_demod_path, "ab") if tap_demod_path else None
+        self.depth = max(1, pipeline_depth)
+        self._inflight: List[dict] = []
 
     def push(self, x_block) -> List[BurstReport]:
         """Process one wideband block ((N, 2), N % hop == 0); returns new
-        (deduplicated) burst reports."""
+        (deduplicated) burst reports — of this block at depth 1, of
+        blocks up to ``pipeline_depth``-1 behind otherwise."""
         x = jnp.asarray(x_block, jnp.float32)
         (starts, valid, quality, hard, self._hist, self._parity,
-         self._carry, self._prev, nh, chan_power, demod) = _rx_stream_block(
+         self._carry, self._prev, _, chan_power, demod) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
             self.M, self.T, self.sps, self.max_bursts, self.threshold,
             want_demod=self._tap is not None,
             bf16=self.spec.transform_bf16, split=self._split,
             fold=self.spec.fold)
-        if self._tap is not None and demod is not None:
-            np.asarray(demod).astype(np.float32).tofile(self._tap)
         dec = decoder.decode_bursts(hard, policy=self.policy)
-        starts = np.asarray(starts)
-        valid = np.asarray(valid)
-        quality = np.asarray(quality)
+        # enqueue DEVICE arrays only — no host sync here; the sync
+        # happens when the entry is drained, depth-1 blocks later
+        self._inflight.append(dict(
+            starts=starts, valid=valid, quality=quality, dec=dec,
+            power=chan_power, demod=demod, abs_base=self._abs_base))
+        self._abs_base += x.shape[0] // (self.M // 2)
+        out: List[BurstReport] = []
+        while len(self._inflight) >= self.depth:
+            out.extend(self._drain_one(self._inflight.pop(0)))
+        return out
+
+    def flush(self) -> List[BurstReport]:
+        """Drain every in-flight block (end of stream)."""
+        out: List[BurstReport] = []
+        while self._inflight:
+            out.extend(self._drain_one(self._inflight.pop(0)))
+        return out
+
+    def _drain_one(self, e: dict) -> List[BurstReport]:
+        if self._tap is not None and e["demod"] is not None:
+            np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
+        starts = np.asarray(e["starts"])
+        valid = np.asarray(e["valid"])
+        quality = np.asarray(e["quality"])
+        dec = e["dec"]
         words = np.asarray(dec.words)
         ok = np.asarray(dec.word_ok)
         bad = np.asarray(dec.bad_symbols)
-        power = np.asarray(chan_power)
-        nh = int(nh)
+        power = np.asarray(e["power"])
         out = []
         for c in range(self.M):
             for k in range(starts.shape[1]):
                 if not valid[c, k]:
                     continue
-                abs_sample = self._abs_base + int(starts[c, k])
+                abs_sample = e["abs_base"] + int(starts[c, k])
                 # dedup: same burst found again in the overlap region
                 if abs(abs_sample - self._last_seen[c]) < \
                         correlator.CAPTURE_SYMBOLS * self.sps // 2:
@@ -171,7 +201,6 @@ class MultichannelReceiver:
                 out.append(rep)
                 if self.on_burst:
                     self.on_burst(rep)
-        self._abs_base += nh
         self.reports.extend(out)
         return out
 

@@ -62,19 +62,24 @@ def _detection_kernels(sps: int):
 
     T: (O+L-1, 2*O) with T[j:j+L, j] = full template and
     T[j+ws_off:j+L, O+j] = word-sync tail (zero head keeps both outputs
-    indexed at the same trigger-start offset).
+    indexed at the same trigger-start offset).  E is the matching
+    banded-ones operator: (win^2) @ E gives the exact sliding window
+    energies the quality normalization needs.
     """
     tmpl = trigger_template(sps)
     L = len(tmpl)
     ws_off = 2 * 26 * sps
     O = CORR_BLOCK
     T = np.zeros((O + L - 1, 2 * O), np.float32)
+    E = np.zeros((O + L - 1, 2 * O), np.float32)
     for j in range(O):
         T[j: j + L, j] = tmpl
         T[j + ws_off: j + L, O + j] = tmpl[ws_off:]
+        E[j: j + L, j] = 1.0
+        E[j + ws_off: j + L, O + j] = 1.0
     tnorm = float(np.sqrt(np.sum(tmpl * tmpl)))
     wsnorm = float(np.sqrt(np.sum(tmpl[ws_off:] ** 2)))
-    return T, L, ws_off, tnorm, wsnorm
+    return T, E, L, ws_off, tnorm, wsnorm
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
@@ -90,7 +95,7 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     length around each accepted peak.
     """
     x = jnp.asarray(demod, jnp.float32)
-    T, L, ws_off, tnorm, wsnorm = _detection_kernels(sps)
+    T, E, L, ws_off, tnorm, wsnorm = _detection_kernels(sps)
     O = CORR_BLOCK
     n = x.shape[-1]
     no = n - L + 1                                 # valid lags
@@ -102,20 +107,16 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     wins = jnp.stack([xp[..., i * O: i * O + O + L - 1]
                       for i in range(nblk)], axis=-2)  # (..., nblk, O+L-1)
     out = wins @ jnp.asarray(T)                    # (..., nblk, 2*O)
-    corr = out[..., :O].reshape(x.shape[:-1] + (nblk * O,))[..., :no]
-    ws_corr = out[..., O:].reshape(x.shape[:-1] + (nblk * O,))[..., :no]
-    # sliding window energies as cumsum-of-squares box differences.
-    # f32 cumsum differences carry ~eps*total absolute error, which in
-    # silent stretches rounds a ~0 window energy to anything in
-    # ±eps*total — floor at a scale-aware epsilon well above that (real
-    # windows sit orders of magnitude higher; Cauchy-Schwarz then keeps
-    # silence quality ~0 instead of exploding).
-    cs = jnp.cumsum(x * x, axis=-1)
-    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
-    floor = jnp.maximum(jnp.float32(1e-9), 1e-5 * cs[..., -1:])
-    energy = jnp.maximum(cs[..., L: L + no] - cs[..., :no], floor)
-    ws_energy = jnp.maximum(
-        cs[..., L: L + no] - cs[..., ws_off: ws_off + no], floor)
+    # window energies from the SAME window stack (exact box sums — no
+    # cumsum cancellation in silent stretches), one more MXU pass
+    een = (wins * wins) @ jnp.asarray(E)
+
+    def unblk(a):
+        return a.reshape(x.shape[:-1] + (nblk * O,))[..., :no]
+
+    corr, ws_corr = unblk(out[..., :O]), unblk(out[..., O:])
+    energy = unblk(een[..., :O])
+    ws_energy = unblk(een[..., O:])
     # cosine similarity of the full template AND of the word-sync tail:
     # idle dotting alone correlates ~0.7 with the full template (52 of
     # its 74 symbols are dotting) but ~0 with the tail; a real trigger

@@ -134,3 +134,30 @@ def test_tx_rx_full_cycle_with_page_injection():
             found = True
             break
     assert found, "page word not recovered from slot-1 RF"
+
+
+def test_receiver_pipeline_depth_same_reports():
+    """depth=2 double buffering defers but does not lose/dup reports."""
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = MultichannelSpec(num_channels=8)
+    total_hops = 3 * 16384
+    events = [MobileEvent("origination", 3, 1500, "5551234567",
+                          dialed="16505551234"),
+              MobileEvent("page_response", 5, 26000, "7735550000")]
+    band = synthesize_reverse_band(events, spec, total_hops)
+    blocks = [band[i: i + 16384 * 4] for i in range(0, len(band), 16384 * 4)]
+
+    def run(depth):
+        rx = MultichannelReceiver(spec, threshold=0.5,
+                                  pipeline_depth=depth)
+        reps = []
+        for b in blocks:
+            reps += rx.push(b)
+        reps += rx.flush()
+        return [(r.channel, r.abs_symbol, tuple(r.word_ok)) for r in reps]
+
+    r1, r2 = run(1), run(2)
+    assert r1 == r2 and len(r1) == 2
