@@ -161,3 +161,65 @@ def test_receiver_pipeline_depth_same_reports():
 
     r1, r2 = run(1), run(2)
     assert r1 == r2 and len(r1) == 2
+
+
+def test_sdr_file_roundtrip(tmp_path):
+    from amps_tpu.runtime.sdr import FileIQSink, FileIQSource
+
+    p = str(tmp_path / "iq.f32")
+    x = np.arange(40, dtype=np.float32).reshape(20, 2)
+    sink = FileIQSink(p)
+    sink.write(x[:12])
+    sink.write(x[12:])
+    sink.close()
+    src = FileIQSource(p)
+    a = src.read(8)
+    b = src.read(100)
+    c = src.read(8)
+    assert np.array_equal(np.vstack([a, b]), x)
+    assert c is None
+
+
+def test_sdr_ring_roundtrip():
+    from amps_tpu.runtime import native_rt
+    if not native_rt.available():
+        import pytest
+        pytest.skip("native runtime unavailable")
+    from amps_tpu.runtime.native_rt import Ring
+    from amps_tpu.runtime.sdr import RingIQSink, RingIQSource
+
+    ring = Ring(1 << 16)
+    sink = RingIQSink(ring)
+    src = RingIQSource(ring, timeout_s=0.2)
+    x = np.random.default_rng(0).normal(size=(300, 2)).astype(np.float32)
+    sink.write(x)
+    got = src.read(300)
+    assert np.allclose(got, x)
+    assert src.read(10) is None  # times out empty
+
+
+def test_executor_with_sdr_file_source(tmp_path):
+    """Full RX over the SDR file seam: capture replay -> reports."""
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.runtime.executor import ThreadedExecutor
+    from amps_tpu.runtime.sdr import (FileIQSink, FileIQSource,
+                                      sink_writer, source_reader)
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = MultichannelSpec(num_channels=8)
+    band = synthesize_reverse_band(
+        [MobileEvent("registration", 2, 1500, "5551234567", esn=0x77)],
+        spec, 2 * 16384)
+    p = str(tmp_path / "cap.f32")
+    s = FileIQSink(p)
+    s.write(band)
+    s.close()
+
+    rx = MultichannelReceiver(spec, threshold=0.5, pipeline_depth=2)
+    src = FileIQSource(p)
+    ex = ThreadedExecutor(rx_source=source_reader(src, 16384 * 4),
+                          rx_push=rx.push).start()
+    ex.join(timeout=300)
+    rx.flush()
+    assert len(rx.reports) == 1 and rx.reports[0].channel == 2
