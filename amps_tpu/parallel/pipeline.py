@@ -128,9 +128,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     demod_p = jnp.concatenate([demod, pad], axis=-1)
     starts, valid, quality = correlator.find_bursts(
         demod, sps, max_bursts, threshold)
-    hard, soft = jax.vmap(
-        lambda d, s: correlator.extract_burst_symbols(d, s, sps)
-    )(demod_p, starts)
+    hard, soft = correlator.extract_bursts_batched(demod_p, starts, sps)
     dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
     # per-channel mean band power: rejects FM "capture" ghosts — an idle
     # channel demodulating a strong neighbor's (or numerical) leakage
@@ -234,9 +232,8 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
                 [demod, jnp.zeros((c_loc, padlen), demod.dtype)], axis=-1)
             starts, valid, quality = correlator.find_bursts(
                 demod, sps, max_bursts, threshold)
-            hard, _ = jax.vmap(
-                lambda d, s: correlator.extract_burst_symbols(d, s, sps)
-            )(demod_p, starts)
+            hard, _ = correlator.extract_bursts_batched(
+                demod_p, starts, sps)
             dec = decoder.decode_bursts(hard)
             # add a leading local time axis so out_specs assemble to
             # (tsize, C, K, ...) global shapes

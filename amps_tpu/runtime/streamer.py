@@ -69,9 +69,7 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     # by the block edge is re-found complete in the next block's overlap
     valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                      <= demod.shape[-1])
-    hard, _ = jax.vmap(
-        lambda d, s: correlator.extract_burst_symbols(d, s, sps)
-    )(demod_p, starts)
+    hard, _ = correlator.extract_bursts_batched(demod_p, starts, sps)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     new_hist = x_ext[-(M * T - M // 2):]

@@ -186,6 +186,52 @@ def symbol_phase_streams(demod, sps: int):
 
 
 @functools.partial(jax.jit, static_argnames=("sps",))
+def extract_bursts_batched(demod_p, starts, sps: int):
+    """Batched capture WITHOUT per-burst DMAs.
+
+    demod_p: (..., n) demod padded so start + CAP*sps <= n for every
+    valid start; starts: (..., K).  Returns (hard (..., K, 3374) uint8,
+    soft float32).
+
+    A vmapped dynamic_slice costs one ~8 µs DMA per burst on this
+    hardware (2048 bursts = 16 ms).  Instead the capture is a dense
+    one-hot matmul over 128-symbol blocks of the phase streams (the
+    selector comes from an iota comparison — no gather anywhere),
+    followed by a 7-step binary-shift realign for the within-block
+    offset.  Invalid starts beyond the padded range yield zeros (the
+    decoder then reports word_ok=False), where dynamic_slice would
+    have clamped; callers mask by ``valid`` either way.
+    """
+    phases = symbol_phase_streams(demod_p, sps)     # (..., sps, nsym)
+    B = SYM_BLOCK
+    nsym = phases.shape[-1]
+    nb = -(-nsym // B)
+    batch = phases.shape[:-2]
+    ph_pad = jnp.concatenate(
+        [phases, jnp.zeros(batch + (sps, nb * B - nsym,), phases.dtype)],
+        axis=-1)
+    blocks = ph_pad.reshape(batch + (sps * nb, B))
+    st = jnp.asarray(starts, jnp.int32)
+    ph = st % sps
+    k0 = st // sps
+    b0 = ph * nb + k0 // B                          # (..., K)
+    r = k0 % B
+    nout = -(-CAPTURE_SYMBOLS // B) + 1             # blocks incl realign
+    tgt = b0[..., None] + jnp.arange(nout)          # (..., K, nout)
+    sel = (tgt[..., None] == jnp.arange(sps * nb)).astype(jnp.float32)
+    coarse = jnp.einsum("...kjb,...bl->...kjl", sel, blocks)
+    flat = coarse.reshape(batch + (st.shape[-1], nout * B))
+    for bit in range(B.bit_length() - 1):           # realign by r < B
+        amt = 1 << bit
+        shifted = jnp.concatenate(
+            [flat[..., amt:],
+             jnp.zeros(flat.shape[:-1] + (amt,), flat.dtype)], axis=-1)
+        flat = jnp.where((r[..., None] & amt) > 0, shifted, flat)
+    soft = flat[..., :CAPTURE_SYMBOLS]
+    return (soft >= 0).astype(jnp.uint8), soft
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
 def extract_burst_symbols(demod, starts, sps: int):
     """Integrate-and-dump capture: for each start index, take
     CAPTURE_SYMBOLS Manchester symbols at sps samples each.

@@ -183,3 +183,21 @@ def test_toeplitz_correlation_matches_numpy_direct(rng):
         got = int(np.asarray(starts)[c, 0]) - L
         assert abs(got - want) <= 0, (c, got, want)
         assert abs(float(np.asarray(quality)[c, 0]) - qd[want]) < 2e-3
+
+
+def test_batched_onehot_extract_matches_slicing(rng):
+    """extract_bursts_batched == per-burst dynamic_slice extraction for
+    valid (padded) starts."""
+    sps = 3
+    C, n = 5, 4000
+    x = rng.normal(0, 1.0, (C, n)).astype(np.float32)
+    pad = np.zeros((C, correlator.CAPTURE_SYMBOLS * sps), np.float32)
+    xp = np.concatenate([x, pad], axis=-1)
+    starts = rng.integers(0, n, (C, 3)).astype(np.int32)
+    hard_b, soft_b = correlator.extract_bursts_batched(xp, starts, sps)
+    import jax
+    hard_s, soft_s = jax.vmap(
+        lambda d, s: correlator.extract_burst_symbols(d, s, sps)
+    )(xp, starts)
+    assert np.allclose(np.asarray(soft_b), np.asarray(soft_s), atol=1e-5)
+    assert np.array_equal(np.asarray(hard_b), np.asarray(hard_s))
