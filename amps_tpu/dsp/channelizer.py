@@ -365,7 +365,14 @@ def _analyze_block(x_ext, h, M: int, T: int, hop0_parity=0,
 @functools.partial(jax.jit, static_argnames=("M", "T"))
 def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
     """Y: (..., Nh, M, 2) channel basebands -> (..., Nh*P, 2) wideband +
-    new overlap-add carry (..., L-P, 2)."""
+    new overlap-add carry (..., L-P, 2).
+
+    Overlap-add in P-sample block coordinates: output block b sample p
+    receives sum_j g[jP+p] * u_{b-j}[(j&1)P + p] — the exact dual of
+    the analysis fold, as 2T shifted multiply-adds on (Nh, P) PLANES.
+    (The earlier form materialized an (Nh, T, M, 2) tensor — T x the
+    output size — and summed 2T full-length padded copies.)
+    """
     L = M * T
     P = M // 2
     Nh = Y.shape[-3]
@@ -375,18 +382,26 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
     C, S = (jnp.asarray(a) for a in _dft_mats(M))
     ur = yr @ C - yi @ S                                         # (..., Nh, M)
     ui = yr @ S + yi @ C
-    u = jnp.stack([ur, ui], axis=-1)                             # (..., Nh, M, 2)
     gm = jnp.asarray(g).reshape(T, M) * jnp.float32(P)           # gain P -> unit roundtrip
-    F = gm[:, :, None] * u[..., None, :, :]                      # (..., Nh, T, M, 2)
     LP = L // P  # frames overlap factor (2T)
-    batch = F.shape[:-4]                                         # dims before Nh
-    Fr = F.reshape(batch + (Nh, LP, P, 2))                       # T*M == LP*P
-    total = Nh * P + (L - P)
-    out = jnp.zeros(batch + (total, 2), jnp.float32)
-    for j in range(LP):
-        contrib = Fr[..., :, j, :, :].reshape(batch + (Nh * P, 2))
-        pad = [(0, 0)] * len(batch) + [(j * P, total - j * P - Nh * P), (0, 0)]
-        out = out + jnp.pad(contrib, pad)
+    batch = Y.shape[:-3]
+    nb_out = Nh + LP - 1
+    total = nb_out * P                                           # Nh*P + L - P
+
+    def overlap_add(uplane):
+        # uplane: (..., Nh, M); halves A = [:P], B = [P:]
+        out = None
+        for j in range(LP):
+            gj = gm[j // 2, (j & 1) * P: (j & 1) * P + P]
+            half = uplane[..., (j & 1) * P: (j & 1) * P + P]     # (..., Nh, P)
+            pad = [(0, 0)] * len(batch) + [(j, LP - 1 - j), (0, 0)]
+            term = jnp.pad(gj * half, pad)                       # (..., nb_out, P)
+            out = term if out is None else out + term
+        return out.reshape(batch + (total,))
+
+    outr = overlap_add(ur)
+    outi = overlap_add(ui)
+    out = jnp.stack([outr, outi], axis=-1)                       # (..., total, 2)
     out = out.at[..., : L - P, :].add(carry)
     return out[..., : Nh * P, :], out[..., Nh * P:, :]
 
