@@ -54,6 +54,12 @@ class MultichannelSpec:
     transform_bf16: bool = False
     transform_split: int = -1
     fold: str = "conv"
+    # io_bf16: carry the analyzer output planes and the demod stream in
+    # bfloat16 (all arithmetic stays f32-accumulated).  This chip is
+    # bandwidth-bound (~73 GB/s measured) and f32/bf16 matmul rates are
+    # identical, so halving data-plane bytes is pure win; decode parity
+    # is covered by tests/test_bf16.py.
+    io_bf16: bool = False
 
     @property
     def chz_spec(self) -> chz.ChannelizerSpec:
@@ -120,8 +126,12 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
                              chmajor=True, bf16=spec.transform_bf16,
                              split=spec.transform_split,
                              fold=spec.fold, planar=True)  # (2, C, Nh)
+        if spec.io_bf16:
+            ypl = ypl.astype(jnp.bfloat16)
         yr, yi = ypl[0], ypl[1]
     demod, _ = quadrature_demod_planar(yr, yi)           # (C, Nh)
+    if spec.io_bf16:
+        demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
     pad = jnp.zeros(demod.shape[:-1]
                     + (correlator.CAPTURE_SYMBOLS * sps,), demod.dtype)

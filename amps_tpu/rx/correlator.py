@@ -48,6 +48,28 @@ def trigger_template(sps: int) -> np.ndarray:
 CORR_BLOCK = 512   # output lags per Toeplitz block (MXU-friendly)
 
 
+def _win_pieces(width: int, stride: int) -> int:
+    return -(-width // stride)
+
+
+def _windowed(x, stride: int, width: int, nblk: int):
+    """Overlapping windows (..., nblk, width), win[i] = x[i*stride :
+    i*stride+width], built from ceil(width/stride) shifted reshapes and
+    ONE concat.  (A stack of nblk slices lowers to an nblk-operand
+    concatenate whose cost scales with the operand count: measured
+    21.9 ms for 128 slices/channel in find_bursts at M=128.)
+    ``x`` must have at least (nblk + pieces - 1) * stride elements
+    (zero-pad first).
+    """
+    k = _win_pieces(width, stride)
+    pieces = [
+        x[..., i * stride: (i + nblk) * stride].reshape(
+            x.shape[:-1] + (nblk, stride))
+        for i in range(k)
+    ]
+    return jnp.concatenate(pieces, axis=-1)[..., :width]
+
+
 @functools.cache
 def _detection_kernels(sps: int):
     """Banded Toeplitz matmul operator computing both correlations.
@@ -100,12 +122,11 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     n = x.shape[-1]
     no = n - L + 1                                 # valid lags
     nblk = -(-no // O)
-    npad = nblk * O + L - 1
+    npad = (nblk + _win_pieces(O + L - 1, O) - 1) * O
     xp = jnp.concatenate(
         [x, jnp.zeros(x.shape[:-1] + (npad - n,), x.dtype)], axis=-1) \
         if npad > n else x[..., :npad]
-    wins = jnp.stack([xp[..., i * O: i * O + O + L - 1]
-                      for i in range(nblk)], axis=-2)  # (..., nblk, O+L-1)
+    wins = _windowed(xp, O, O + L - 1, nblk)       # (..., nblk, O+L-1)
     out = wins @ jnp.asarray(T)                    # (..., nblk, 2*O)
     # window energies from the SAME window stack (exact box sums — no
     # cumsum cancellation in silent stretches), one more MXU pass
@@ -173,12 +194,11 @@ def symbol_phase_streams(demod, sps: int):
     B = SYM_BLOCK
     nblk = -(-nsym // B)
     win = B * sps + sps - 1
-    npad = (nblk - 1) * B * sps + win
+    npad = (nblk + _win_pieces(win, B * sps) - 1) * B * sps
     xp = jnp.concatenate(
         [x, jnp.zeros(x.shape[:-1] + (max(npad - n, 0),), x.dtype)],
         axis=-1)
-    wins = jnp.stack([xp[..., b * B * sps: b * B * sps + win]
-                      for b in range(nblk)], axis=-2)   # (..., nblk, win)
+    wins = _windowed(xp, B * sps, win, nblk)            # (..., nblk, win)
     out = wins @ jnp.asarray(_dump_matrix(sps))         # (..., nblk, sps*B)
     out = out.reshape(x.shape[:-1] + (nblk, sps, B))
     out = jnp.swapaxes(out, -3, -2)                     # (..., sps, nblk, B)

@@ -42,3 +42,26 @@ def test_bf16_transform_still_decodes():
     dec = decoder.decode_bursts(np.asarray(hard)[0])
     assert np.asarray(dec.word_ok)[:2].all()
     assert np.array_equal(np.asarray(dec.words)[0], words[0])
+
+
+def test_io_bf16_pipeline_still_decodes():
+    """io_bf16 (bf16 data plane) decodes a planted burst bit-exact."""
+    from amps_tpu.parallel.pipeline import rx_multichannel_block
+
+    spec = MultichannelSpec(num_channels=16, fold="bank", io_bf16=True)
+    sps = spec.chan_sps
+    words = recc_ms.page_response_words("5551234567")
+    syms = recc_ms.burst_symbols(words, 0, sps)
+    sens = 2 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+    bb, _ = fm_modulate_symbols(syms.astype(np.int8), sens)
+    hops = 16384
+    Y = np.zeros((hops, 16, 2), np.float32)
+    Y[2000:2000 + len(np.asarray(bb)), 5] = np.asarray(bb)
+    x, _ = chz.synthesize(jnp.asarray(Y), spec.chz_spec,
+                          chz.synthesizer_init(spec.chz_spec))
+    out = rx_multichannel_block(jnp.asarray(np.asarray(x)), spec,
+                                max_bursts=1)
+    assert np.asarray(out["valid"])[5, 0]
+    assert np.asarray(out["word_ok"])[5, 0, :2].all()
+    assert np.array_equal(np.asarray(out["words"])[5, 0, 0], words[0])
+    assert np.array_equal(np.asarray(out["words"])[5, 0, 1], words[1])
