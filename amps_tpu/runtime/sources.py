@@ -102,3 +102,52 @@ class WavAudioSource:
             self._off = (self._off + take) % len(self.data)
             filled += take
         return out
+
+
+class RvcRebroadcastSource:
+    """ampsbs_rvc.grc loop-back: audio demodulated from a reverse-voice
+    channelizer slot, re-broadcast on a forward voice slot (SURVEY.md
+    §2 'RVC monitor variant' — second freq_xlating tap -> NBFM RX ->
+    re-broadcast TX chain).
+
+    ``rvc_baseband(n_hops) -> (n_hops, 2)`` riq of the monitored RVC
+    slot at chan_rate.  Instances are ``audio_source`` callables for
+    VoiceFvcSlot, so the re-broadcast rides the standard voice+SAT
+    chain (fresh land-side SAT replaces the mobile's transponded one).
+    The most recent supervision measurement of the monitored slot is
+    kept in ``last_levels``/``last_power`` for the control plane
+    (control/supervision.py).
+    """
+
+    def __init__(self, rvc_baseband: Callable[[int], np.ndarray],
+                 system: Optional[SystemConfig] = None,
+                 pipe: Optional[PipelineConfig] = None,
+                 supervision_frame: int = 600):
+        from amps_tpu.rx.voice import nbfm_demod_audio, supervision_levels
+        self._demod_audio = nbfm_demod_audio
+        self._sup = supervision_levels
+        self.rvc_baseband = rvc_baseband
+        self.system = system or SystemConfig()
+        self.pipe = pipe or PipelineConfig()
+        self.sup_frame = supervision_frame
+        self.last_levels: Optional[np.ndarray] = None
+        self.last_power: Optional[np.ndarray] = None
+
+    def __call__(self, n_audio: int) -> np.ndarray:
+        pipe = self.pipe
+        n_hops = int(round(n_audio * pipe.chan_rate / pipe.audio_rate))
+        iq = np.asarray(self.rvc_baseband(n_hops), np.float32)
+        audio, _ = self._demod_audio(iq, self.system, pipe)
+        audio = np.asarray(audio, np.float32)
+        # supervision measurement on the raw discriminator stream
+        from amps_tpu.dsp.fm import quadrature_demod
+        d, _ = quadrature_demod(iq)
+        sens = 2.0 * np.pi * pipe.deviation_hz / pipe.chan_rate
+        d = np.asarray(d) / sens
+        if len(d) >= self.sup_frame:
+            lv, pw = self._sup(d, self.sup_frame, float(pipe.chan_rate))
+            self.last_levels = np.asarray(lv)
+            self.last_power = np.asarray(pw)
+        if len(audio) < n_audio:
+            audio = np.pad(audio, (0, n_audio - len(audio)))
+        return audio[:n_audio]

@@ -43,7 +43,7 @@ def _wait_for_tpu(budget_s: float = 2700.0) -> bool:
     return False
 
 
-def _throughput(spec, n, iters=10, use_pallas=False):
+def _throughput(spec, n, iters=12, use_pallas=False):
     import jax
     import jax.numpy as jnp
     from amps_tpu.parallel.pipeline import rx_multichannel_block
@@ -75,20 +75,20 @@ def main():
     from amps_tpu.parallel.pipeline import MultichannelSpec
 
     n = 1 << 22
+    # fold="bank": permutation-absorbed two-bank analyzer, the validated
+    # production path (decode bit-parity tested; see tools/profile_rx*.out
+    # for the optimization record on this chip)
     m1024 = _throughput(MultichannelSpec(num_channels=1024,
-                                         taps_per_phase=8), n)
+                                         taps_per_phase=8,
+                                         fold="bank"), n)
+    m256 = _throughput(MultichannelSpec(num_channels=256,
+                                        taps_per_phase=8,
+                                        fold="bank"), n)
     m128 = _throughput(MultichannelSpec(num_channels=128,
-                                        taps_per_phase=8), n)
-    # NB: no in-process Pallas probe here — a subprocess cannot share the
-    # single chip with this process's live client (it hangs, and killing
-    # it wedges the chip).  The Pallas kernel's measured numbers
-    # (1.67 ms vs 2.88 ms XLA per 4M-sample analysis) are recorded in
-    # tests and the commit log; enable via rx_multichannel_block(...,
-    # use_pallas=True) in a dedicated process.
-    m128_pallas = 0.0
+                                        taps_per_phase=8,
+                                        fold="bank"), n)
 
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
-    best128 = max(m128, m128_pallas)
     result = {
         "metric": "IQ Msamples/s/chip (1024-ch channelize+RECC demod+decode)",
         "value": round(m1024, 2),
@@ -97,10 +97,11 @@ def main():
         "detail": {
             "block_samples": n,
             "realtime_factor_1024ch": round(m1024 / realtime_rate, 2),
+            "throughput_256ch_bank_msps": round(m256, 2),
             "throughput_128ch_bank_msps": round(m128, 2),
-            "throughput_128ch_bank_pallas_msps": round(m128_pallas, 2),
-            "equivalent_realtime_30kHz_channels_128": int(best128 / 0.03),
             "equivalent_realtime_30kHz_channels_1024": int(m1024 / 0.03),
+            "equivalent_realtime_30kHz_channels_best": int(
+                max(m1024, m256, m128) / 0.03),
             "device": str(jax.devices()[0]),
         },
     }

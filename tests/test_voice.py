@@ -77,3 +77,46 @@ def test_voice_through_channelizer_slot():
     got = np.asarray(Y2)[8 * T:, k]
     scc, levels = detect_scc(np.asarray(_demod_for_sat(got)), PIPE.chan_rate)
     assert int(scc) == 2
+
+
+def test_rvc_rebroadcast_loop():
+    """RVC slot -> demod audio -> re-broadcast with fresh SAT (the
+    ampsbs_rvc.grc loop-back), audible tone preserved end to end."""
+    from amps_tpu.control.station import BaseStation
+    from amps_tpu.runtime.sources import RvcRebroadcastSource, VoiceFvcSlot
+    from amps_tpu.rx.voice import nbfm_demod_audio
+    from amps_tpu.tx.voice import voice_channel_baseband
+
+    system = SystemConfig()
+    pipe = PipelineConfig()
+    n_aud = 8192
+    t = np.arange(n_aud) / pipe.audio_rate
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    # the mobile's RVC transmission: tone + transponded SAT
+    rvc_iq, _ = voice_channel_baseband(tone, system, pipe, sat=True)
+    rvc_iq = np.asarray(rvc_iq)
+    pos = {"i": 0}
+
+    def rvc_slot(n_hops):
+        i = pos["i"]
+        pos["i"] += n_hops
+        blk = rvc_iq[i: i + n_hops]
+        if len(blk) < n_hops:
+            blk = np.pad(blk, ((0, n_hops - len(blk)), (0, 0)))
+        return blk
+
+    station = BaseStation(system, pipe)
+    station.handle_command("fvc off")   # voice path up
+    rebro = RvcRebroadcastSource(rvc_slot, system, pipe)
+    slot = VoiceFvcSlot(station, audio_source=rebro)
+    out = slot(30000)                   # forward-slot baseband
+    # supervision measurement captured from the monitored slot
+    assert rebro.last_levels is not None
+    assert rebro.last_levels[:, 1].mean() > 0.02      # SCC=1 SAT present
+    # demodulate the re-broadcast and find the tone
+    audio, _ = nbfm_demod_audio(out, system, pipe)
+    audio = np.asarray(audio)[2000:]
+    spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+    freqs = np.fft.rfftfreq(len(audio), 1.0 / pipe.audio_rate)
+    peak = freqs[np.argmax(spec * (freqs > 100))]
+    assert abs(peak - 440.0) < 15.0, peak
