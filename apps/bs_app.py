@@ -84,7 +84,11 @@ def main(argv=None):
               f"ok={int(rep.word_ok.sum())}/7")
         station.handle_burst(rep.words, rep.word_ok)
 
-    rx = MultichannelReceiver(spec, on_burst=on_burst, threshold=0.5)
+    rx = MultichannelReceiver(spec, on_burst=on_burst, threshold=0.5,
+                              pipeline_depth=2)
+
+    from amps_tpu.runtime.executor import ThreadedExecutor
+    from amps_tpu.runtime.sdr import FileIQSink, FileIQSource
 
     async def run():
         server = None
@@ -93,8 +97,6 @@ def main(argv=None):
             await server.start()
             print(f"[ctl] command server on 127.0.0.1:{args.port}")
 
-        tx_f = open(args.tx_out, "wb") if args.tx_out else None
-        rx_f = open(args.rx_in, "rb") if args.rx_in else None
         tx_meter = meter("tx_wideband")
         rx_meter = meter("rx_wideband")
 
@@ -124,39 +126,58 @@ def main(argv=None):
                                     chz.synthesizer_init(spec.chz_spec))
             sim_blocks.append(np.asarray(blk))
 
-        for sf in range(args.superframes):
+        # three-thread runtime: TX feeder / RX drainer here, the control
+        # plane (TCP server + call state) stays on this asyncio thread
+        tx_sink = FileIQSink(args.tx_out) if args.tx_out else None
+        rx_src = FileIQSource(args.rx_in) if args.rx_in else None
+        P = spec.chz_spec.hop
+        rx_block_samples = 16384 * max(P // 4, 1)
+
+        def tx_step():
             blk = np.asarray(tx.next_block())
             tx_meter.update(len(blk))
-            if tx_f:
-                blk.astype(np.float32).tofile(tx_f)
-            print(f"[tx] superframe {sf + 1}/{args.superframes}: "
-                  f"{len(blk)} samples ({tx_meter.rate / 1e6:.1f} Msps)")
+            print(f"[tx] superframe: {len(blk)} samples "
+                  f"({tx_meter.rate / 1e6:.1f} Msps)")
+            return blk
 
-            # interleave one RX block per superframe
-            rx_block = None
-            if rx_f is not None:
-                P = spec.chz_spec.hop
-                want = (len(blk) // P) * P
-                raw = np.fromfile(rx_f, dtype=np.float32, count=want * 2)
-                if len(raw) >= 2 * P:
-                    raw = raw[: (len(raw) // (2 * P)) * 2 * P]
-                    rx_block = raw.reshape(-1, 2)
-            elif sim_blocks:
-                rx_block = sim_blocks.pop(0)
-            if rx_block is not None:
-                reports = rx.push(rx_block)
-                rx_meter.update(len(rx_block))
-                print(f"[rx] block: {len(rx_block)} samples, "
-                      f"{len(reports)} burst(s)")
-            await asyncio.sleep(0)
+        def tx_out(blk):
+            if tx_sink:
+                tx_sink.write(blk)
+
+        def rx_source():
+            if rx_src is not None:
+                blk = rx_src.read(rx_block_samples)
+                if blk is None:
+                    return None
+                return blk[: (len(blk) // P) * P]
+            if sim_blocks:
+                return sim_blocks.pop(0)
+            return None
+
+        def rx_push(blk):
+            reports = rx.push(blk)
+            rx_meter.update(len(blk))
+            print(f"[rx] block: {len(blk)} samples, "
+                  f"{len(reports)} burst(s)")
+
+        ex = ThreadedExecutor(tx_step=tx_step, tx_sink=tx_out,
+                              rx_source=rx_source, rx_push=rx_push,
+                              max_tx_blocks=args.superframes).start()
+        while ex.alive:
+            await asyncio.sleep(0.05)
+        stats = ex.join(timeout=60)
+        rx.flush()
+        print(f"[run] tx {stats.tx_blocks} blocks "
+              f"({stats.tx_samples} samples), rx {stats.rx_blocks} blocks "
+              f"({stats.rx_samples} samples) in {stats.wall_s:.1f}s")
 
         for ev in station.events:
             if ev.kind in ("debug", "command"):
                 print(f"[station] {ev.kind}: {str(ev.payload).strip()}")
-        if tx_f:
-            tx_f.close()
-        if rx_f:
-            rx_f.close()
+        if tx_sink:
+            tx_sink.close()
+        if rx_src:
+            rx_src.close()
         if server:
             await server.stop()
 
