@@ -137,6 +137,24 @@ def registration_superframe_word_pairs(
     return arr
 
 
+def symbols_from_bitfile(path: str, sps: int = 1) -> np.ndarray:
+    """The queue_file debug injector (lib/focc_impl.cc:53-77) as a pure
+    source: read '0'/'1' characters (or raw 0/1 bytes) from ``path`` and
+    return the Manchester-encoded ±1 int8 symbol stream at ``sps`` samples
+    per half-symbol.  Invalid bytes are skipped with a count, like the
+    reference's "invalid value in bits file" warning.  Feed the result to
+    a runtime source / modulator to transmit arbitrary bit captures."""
+    raw = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+    bits = np.where((raw == 1) | (raw == ord("1")), 1,
+                    np.where((raw == 0) | (raw == ord("0")), 0, -1))
+    invalid = int(np.sum(bits < 0))
+    if invalid:
+        from amps_tpu.utils.logging import log_warning
+        log_warning(f"symbols_from_bitfile: {invalid} invalid bytes skipped")
+    bits = bits[bits >= 0].astype(np.uint8)
+    return np.asarray(manchester_encode_symbols(bits, sps))
+
+
 class FoccStream:
     """Host-side FOCC word-queue + superframe producer.
 
@@ -144,9 +162,16 @@ class FoccStream:
     (stream, word28) messages become ephemeral message frames that replace
     filler slots (lib/focc_impl.cc:501-563).  Thread-safe like the
     reference's frame_queue_mutex (lib/focc_impl.cc:566-580).
+
+    ``debug_sink``: when set, append the emitted ±1 symbol stream (int8
+    bytes) to this file, capped at ``debug_limit`` samples — the
+    AMPS_DEBUG /tmp/debug.bits dump (lib/focc_impl.cc:132-135,639-645,
+    same 500000-sample default cap).
     """
 
-    def __init__(self, system: Optional[SystemConfig] = None, sps: int = 5):
+    def __init__(self, system: Optional[SystemConfig] = None, sps: int = 5,
+                 debug_sink: Optional[str] = None,
+                 debug_limit: int = 500000):
         self.system = system or SystemConfig()
         self.sps = sps
         if self.system.aggressive_registration:
@@ -159,6 +184,8 @@ class FoccStream:
         ]
         self._queue: collections.deque = collections.deque()
         self._lock = threading.Lock()
+        self._debug = open(debug_sink, "ab") if debug_sink else None
+        self._debug_left = debug_limit
 
     @property
     def frames_per_superframe(self) -> int:
@@ -200,4 +227,10 @@ class FoccStream:
 
     def next_superframe_symbols(self) -> jax.Array:
         """±1 symbol samples for the next superframe (device array)."""
-        return focc_frames_symbols(self.next_word_pairs(), self.sps)
+        syms = focc_frames_symbols(self.next_word_pairs(), self.sps)
+        if self._debug is not None and self._debug_left > 0:
+            chunk = np.asarray(syms, np.int8)[: self._debug_left]
+            self._debug.write(chunk.tobytes())
+            self._debug.flush()
+            self._debug_left -= chunk.size
+        return syms

@@ -102,3 +102,28 @@ def test_fvc_stream_repeats_and_timer():
     # idle after clear -> explicit zero fill (reference quirk fixed)
     st.clear()
     assert not st.next_block(100).any()
+
+
+def test_symbols_from_bitfile(tmp_path):
+    # queue_file parity (lib/focc_impl.cc:53-77): '1' -> (-1,+1) pair,
+    # '0' -> (+1,-1), invalid bytes skipped
+    p = tmp_path / "out.bits"
+    p.write_bytes(b"10x1" + bytes([0, 1, 7]))
+    syms = tx_focc.symbols_from_bitfile(str(p), sps=1)
+    want = np.array([-1, 1, 1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int8)
+    assert np.array_equal(syms, want)
+    # sps repeat
+    syms3 = tx_focc.symbols_from_bitfile(str(p), sps=3)
+    assert np.array_equal(syms3, np.repeat(want, 3))
+
+
+def test_focc_stream_debug_sink(tmp_path):
+    # AMPS_DEBUG dump parity (lib/focc_impl.cc:132-135,639-645): the
+    # emitted symbol stream appends to the sink, capped at debug_limit
+    sink = tmp_path / "debug.bits"
+    st = tx_focc.FoccStream(sps=1, debug_sink=str(sink), debug_limit=2000)
+    a = np.asarray(st.next_superframe_symbols(), np.int8)
+    got = np.frombuffer(sink.read_bytes(), dtype=np.int8)
+    assert np.array_equal(got, a[:2000])
+    st.next_superframe_symbols()  # over the cap: nothing more written
+    assert sink.stat().st_size == 2000
