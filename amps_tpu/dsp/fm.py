@@ -64,6 +64,40 @@ def fm_modulate_symbols(symbols, sensitivity: float, phase_accum0=0):
     return riq.expj(phase), accum[..., -1]
 
 
+def fsk_manchester_baseband(bits, sps: int, sensitivity: float,
+                            phase_accum0=0):
+    """FSK baseband of a Manchester-coded bit stream as a 2-template map.
+
+    Manchester bits are DC-balanced: each bit's 2*sps ±1 samples sum to
+    zero, so the integer phase accumulator of fm_modulate_symbols returns
+    to its start after EVERY bit.  The modulated waveform of a bit is
+    therefore one of exactly two fixed (2*sps, 2) IQ templates — the whole
+    char_to_float -> frequency_modulator_fc chain collapses to a select +
+    broadcast (one write pass over the output; no cumsum, no sin/cos).
+    Bit-exact vs fm_modulate_symbols(manchester_encode_symbols(bits)):
+    the templates are evaluated with the same f32 phase and expj ops.
+
+    bits: (..., n) 0/1.  Returns (iq riq (..., n*2*sps, 2), accum_end
+    (unchanged phase_accum0, kept for interface parity with
+    fm_modulate_symbols)).
+    """
+    bits = jnp.asarray(bits)
+    # per-bit cumsum ramps: bit 0 encodes to (+1 x sps, -1 x sps), bit 1
+    # to the negation (codec.manchester.manchester_encode_symbols)
+    half = np.concatenate([np.arange(1, sps + 1),
+                           np.arange(sps - 1, -1, -1)])  # 1..sps..0
+    ramp = np.stack([half, -half]).astype(np.int32)      # (2, 2*sps)
+    accum = jnp.asarray(ramp) + jnp.asarray(phase_accum0, jnp.int32)
+    table = riq.expj(accum.astype(jnp.float32)
+                     * jnp.float32(sensitivity))         # (2, 2*sps, 2)
+    sel = bits[..., None, None] != 0
+    out = jnp.where(sel, table[1], table[0])             # (..., n, 2*sps, 2)
+    out = out.reshape(bits.shape[:-1] + (-1, 2))
+    accum_end = jnp.broadcast_to(jnp.asarray(phase_accum0, jnp.int32),
+                                 bits.shape[:-1])
+    return out, accum_end
+
+
 def fm_modulate(x, sensitivity: float, phase0=0.0):
     """FM-modulate a float signal; returns (iq riq, final unwrapped phase).
 

@@ -36,11 +36,10 @@ from jax import shard_map
 
 from amps_tpu.config import PipelineConfig, SystemConfig
 from amps_tpu.dsp import channelizer as chz
-from amps_tpu.dsp.fm import (fm_modulate_symbols, quadrature_demod,
-                             quadrature_demod_planar)
+from amps_tpu.dsp.fm import fsk_manchester_baseband, quadrature_demod_planar
 from amps_tpu.parallel.halo import halo_exchange_left, add_tail_to_right
 from amps_tpu.rx import correlator, decoder
-from amps_tpu.tx.focc import focc_frames_symbols
+from amps_tpu.tx.focc import focc_frame_bits, focc_frames_symbols
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,9 +81,9 @@ def tx_multichannel_block(word_pairs, spec: MultichannelSpec):
     configuration of BASELINE.json is C FOCCs in parallel).
     """
     sps = spec.chan_sps
-    syms = focc_frames_symbols(word_pairs, sps)          # (C, n)
+    bits = focc_frame_bits(word_pairs)                   # (C, nb)
     sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
-    bb, _ = fm_modulate_symbols(syms, sens)              # (C, n, 2)
+    bb, _ = fsk_manchester_baseband(bits, sps, sens)     # (C, n, 2)
     Y = jnp.swapaxes(bb, 0, 1)                           # (n, C, 2)
     x, _ = chz.synthesize(Y, spec.chz_spec,
                           chz.synthesizer_init(spec.chz_spec))
@@ -195,8 +194,8 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
         def tx_local(wp):
             # wp: (c_loc, F, 2, 28) on this chan rank, replicated over
             # time: framing + FSK modulation is genuinely chan-sharded
-            syms = focc_frames_symbols(wp, sps)          # (c_loc, n)
-            bb, _ = fm_modulate_symbols(syms, sens)      # (c_loc, n, 2)
+            bits = focc_frame_bits(wp)                   # (c_loc, nb)
+            bb, _ = fsk_manchester_baseband(bits, sps, sens)  # (c_loc, n, 2)
             # gather all channels (the synthesis transform needs all M)
             bb_all = lax.all_gather(bb, "chan", axis=0, tiled=True)  # (M, n, 2)
             Y = jnp.swapaxes(bb_all, 0, 1)               # (n, M, 2)

@@ -27,11 +27,11 @@ import jax.numpy as jnp
 from amps_tpu.config import SystemConfig
 
 from amps_tpu.dsp import channelizer as chz
-from amps_tpu.dsp.fm import (fm_modulate_symbols,
+from amps_tpu.dsp.fm import (fsk_manchester_baseband,
                              quadrature_demod_planar)
 from amps_tpu.parallel.pipeline import MultichannelSpec
 from amps_tpu.rx import correlator, decoder
-from amps_tpu.tx.focc import FoccStream, focc_frames_symbols
+from amps_tpu.tx.focc import FoccStream, focc_frame_bits
 
 
 @functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
@@ -236,8 +236,11 @@ class MultichannelTransmitter:
         chans = {}
         for k, st in self.focc.items():
             pairs = st.next_word_pairs()
-            syms = focc_frames_symbols(pairs, self.sps)
-            bb, acc = fm_modulate_symbols(syms, self._sens, self._accum[k])
+            bits = focc_frame_bits(pairs)
+            # Manchester bits are DC-balanced so the accumulator carry is
+            # a fixed point — carried anyway for interface clarity
+            bb, acc = fsk_manchester_baseband(bits, self.sps, self._sens,
+                                              self._accum[k])
             self._accum[k] = acc
             chans[k] = bb
             n_hops = bb.shape[0]

@@ -71,13 +71,14 @@ def _frame_gather_indices() -> np.ndarray:
 _FRAME_SRC = _frame_gather_indices()
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "busy_idle"))
-def focc_frames_symbols(word_pairs, sps: int, busy_idle: int = 1):
-    """Synthesize FOCC frames.
+@functools.partial(jax.jit, static_argnames=("busy_idle",))
+def focc_frame_bits(word_pairs, busy_idle: int = 1):
+    """Frame bits before Manchester: (..., F, 2, 28) words -> (..., F*463).
 
-    word_pairs: (..., F, 2, 28) uint8 unencoded (A, B) words per frame.
-    Returns (..., F*463*2*sps) ±1 int8 symbol samples — bit-identical to
-    the reference focc block's steady-state output stream.
+    The pre-line-coding stage of focc_frames_symbols, exposed because the
+    FSK baseband of Manchester data is a pure per-bit waveform map (see
+    dsp.fm.fsk_manchester_baseband) — the TX hot path goes straight from
+    these bits to IQ without materializing the ±1 symbol stream.
     """
     word_pairs = jnp.asarray(word_pairs, dtype=jnp.uint8)
     coded = focc_bch_encode(word_pairs)              # (..., F, 2, 40)
@@ -95,8 +96,19 @@ def focc_frames_symbols(word_pairs, sps: int, busy_idle: int = 1):
     gathered = jnp.take(msg, src, axis=-1)           # (..., F, 463)
     is_bi = jnp.asarray(_FRAME_SRC < 0)
     frame_bits = jnp.where(is_bi, jnp.uint8(busy_idle), gathered)
-    flat = frame_bits.reshape(frame_bits.shape[:-2] + (-1,))
-    return manchester_encode_symbols(flat, sps)
+    return frame_bits.reshape(frame_bits.shape[:-2] + (-1,))
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "busy_idle"))
+def focc_frames_symbols(word_pairs, sps: int, busy_idle: int = 1):
+    """Synthesize FOCC frames.
+
+    word_pairs: (..., F, 2, 28) uint8 unencoded (A, B) words per frame.
+    Returns (..., F*463*2*sps) ±1 int8 symbol samples — bit-identical to
+    the reference focc block's steady-state output stream.
+    """
+    return manchester_encode_symbols(focc_frame_bits(word_pairs, busy_idle),
+                                     sps)
 
 
 def superframe_word_pairs(system: Optional[SystemConfig] = None) -> np.ndarray:

@@ -72,3 +72,19 @@ def test_streaming_freq_xlating_phase_continuity():
         parts.append(np.asarray(y))
     y2 = np.concatenate(parts)
     assert np.allclose(np.asarray(y1), y2, atol=2e-4)
+
+
+def test_fsk_manchester_baseband_bitexact():
+    # the 2-template fast path must match the generic accumulate->expj
+    # modulator bit-for-bit (same f32 phase values, same expj)
+    from amps_tpu.codec.manchester import manchester_encode_symbols
+    from amps_tpu.dsp.fm import fm_modulate_symbols, fsk_manchester_baseband
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (4, 200)).astype(np.uint8)
+    for sps, accum0 in ((3, 0), (5, 0), (3, 7), (1, -2)):
+        syms = manchester_encode_symbols(bits, sps)
+        want, acc_w = fm_modulate_symbols(syms, 0.8378, accum0)
+        got, acc_g = fsk_manchester_baseband(bits, sps, 0.8378, accum0)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), sps
+        assert np.array_equal(np.asarray(acc_g),
+                              np.asarray(acc_w).astype(np.int32))

@@ -167,3 +167,39 @@ def test_sharded_step_all_mesh_shapes_consistent_power():
     m = [r[-1] for r in results]
     assert np.isfinite(m).all()
     assert max(m) - min(m) < 0.25, m
+
+
+def test_tx_multichannel_per_channel_bits():
+    """Every channel of the TX bank (fused bits->2-template FSK ->
+    synthesis) carries ITS OWN frame bits, recoverable through an
+    analysis + demod loopback."""
+    import jax.numpy as jnp
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import quadrature_demod_planar
+    from amps_tpu.parallel.pipeline import (MultichannelSpec,
+                                            tx_multichannel_block)
+    from amps_tpu.tx.focc import superframe_word_pairs, focc_frame_bits
+    from amps_tpu.codec.manchester import manchester_decode_bits
+
+    M, F = 16, 3
+    spec = MultichannelSpec(num_channels=M, taps_per_phase=8)
+    sps = spec.chan_sps
+    pairs = superframe_word_pairs()[:F]
+    wp = np.stack([np.roll(pairs, k % F, axis=0) for k in range(M)])
+    x = tx_multichannel_block(jnp.asarray(wp), spec)
+    ypl, _ = chz.analyze(x, spec.chz_spec, chz.analyzer_init(spec.chz_spec),
+                         chmajor=True, planar=True)
+    demod, _ = quadrature_demod_planar(ypl[0], ypl[1])
+    d = np.asarray(demod)
+    bits_tx = np.asarray(focc_frame_bits(jnp.asarray(wp)))
+    for k in range(M):
+        best = 0.0
+        for off in range(0, 30 * sps):  # covers syn+ana group delay
+            nn = (d.shape[1] - off) // sps
+            soft = d[k, off:off + nn * sps].reshape(nn, sps).mean(1)
+            hard = (soft >= 0).astype(np.uint8)
+            bits = np.asarray(
+                manchester_decode_bits(hard[: len(hard) // 2 * 2])[0])
+            m = min(len(bits), bits_tx.shape[1])
+            best = max(best, float((bits[:m] == bits_tx[k, :m]).mean()))
+        assert best > 0.995, (k, best)
