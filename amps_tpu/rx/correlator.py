@@ -45,7 +45,8 @@ def trigger_template(sps: int) -> np.ndarray:
     return np.repeat(pair, sps)
 
 
-CORR_BLOCK = 512   # output lags per Toeplitz block (MXU-friendly)
+CORR_BLOCK = 256   # output lags per Toeplitz block (MXU-friendly;
+                   # tools/profile_corr.out: 256 beats 512/128/64 in-pipeline)
 
 
 def _win_pieces(width: int, stride: int) -> int:
@@ -71,7 +72,7 @@ def _windowed(x, stride: int, width: int, nblk: int):
 
 
 @functools.cache
-def _detection_kernels(sps: int):
+def _detection_kernels(sps: int, O: int = CORR_BLOCK):
     """Banded Toeplitz matmul operator computing both correlations.
 
     A 222-tap C=1 conv on TPU re-reads the input once per tap (~7 GB of
@@ -91,7 +92,6 @@ def _detection_kernels(sps: int):
     tmpl = trigger_template(sps)
     L = len(tmpl)
     ws_off = 2 * 26 * sps
-    O = CORR_BLOCK
     T = np.zeros((O + L - 1, 2 * O), np.float32)
     E = np.zeros((O + L - 1, 2 * O), np.float32)
     for j in range(O):
@@ -104,9 +104,10 @@ def _detection_kernels(sps: int):
     return T, E, L, ws_off, tnorm, wsnorm
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "max_bursts"))
+@functools.partial(jax.jit, static_argnames=("sps", "max_bursts",
+                                             "corr_block"))
 def find_bursts(demod, sps: int, max_bursts: int = 4,
-                threshold: float = 0.6):
+                threshold: float = 0.6, corr_block: int = CORR_BLOCK):
     """Locate up to ``max_bursts`` trigger hits in an FM-demod block.
 
     demod: (..., n) float32 (discriminator output, data is ±sensitivity).
@@ -117,8 +118,8 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     length around each accepted peak.
     """
     x = jnp.asarray(demod, jnp.float32)
-    T, E, L, ws_off, tnorm, wsnorm = _detection_kernels(sps)
-    O = CORR_BLOCK
+    T, E, L, ws_off, tnorm, wsnorm = _detection_kernels(sps, corr_block)
+    O = corr_block
     n = x.shape[-1]
     no = n - L + 1                                 # valid lags
     nblk = -(-no // O)
