@@ -188,6 +188,45 @@ def _transform_chmajor(vr, vi, M: int, bf16: bool, split: int):
     return (yr.reshape(shp + (M, Nh)), yi.reshape(shp + (M, Nh)))
 
 
+def _transform_hopmajor(yr, yi, M: int, bf16: bool, split: int):
+    """u[n, m] = sum_k y[n, k] E+[k, m] on hop-major (..., Nh, M) planes
+    (the synthesis-side dual of _transform_chmajor; E+ is symmetric so
+    the same Cooley-Tukey factors apply with k and m roles swapped).
+    split=0: dense (M, M) matmul pair; split=M2: two-stage (M*(M1+M2)
+    MACs instead of M^2 — 8x fewer at M=1024)."""
+    if bf16:
+        def dot(expr, A, b):
+            return jnp.einsum(expr, A.astype(jnp.bfloat16),
+                              b.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+    else:
+        dot = jnp.einsum
+    if not split:
+        C, S = (jnp.asarray(a) for a in _dft_mats(M))
+        ur = dot("...nk,km->...nm", yr, C) - dot("...nk,km->...nm", yi, S)
+        ui = dot("...nk,km->...nm", yr, S) + dot("...nk,km->...nm", yi, C)
+        return ur, ui
+    M2 = split
+    M1 = M // M2
+    C2, S2, C1, S1, twc, tws = (jnp.asarray(a)
+                                for a in _dft_split_mats(M, M2))
+    shp = yr.shape[:-1]
+    # k = k2 + M2*k1 -> reshape to [k1 major, k2 minor]
+    y2r = yr.reshape(shp + (M1, M2))
+    y2i = yi.reshape(shp + (M1, M2))
+    # stage 1: contract k1 with E1+[k1, m1] -> A[..., k2, m1]
+    Ar = dot("ka,...kc->...ca", C1, y2r) - dot("ka,...kc->...ca", S1, y2i)
+    Ai = dot("ka,...kc->...ca", S1, y2r) + dot("ka,...kc->...ca", C1, y2i)
+    # twiddle tw[k2, m1] (elementwise, VPU)
+    Br = twc * Ar - tws * Ai
+    Bi = tws * Ar + twc * Ai
+    # stage 2: contract k2 with E2+[k2, m2] -> U[..., m2, m1];
+    # m = m1 + M1*m2 flattens with m2 major
+    ur = dot("km,...kq->...mq", C2, Br) - dot("km,...kq->...mq", S2, Bi)
+    ui = dot("km,...kq->...mq", S2, Br) + dot("km,...kq->...mq", C2, Bi)
+    return ur.reshape(shp + (M,)), ui.reshape(shp + (M,))
+
+
 def _hop_sign(M: int, Nh: int, hop0_parity):
     """(Nh, M) matrix of (-1)^{k n}.  hop0_parity may be a traced int32
     scalar (inside shard_map the absolute hop index depends on the shard
@@ -362,8 +401,9 @@ def _analyze_block(x_ext, h, M: int, T: int, hop0_parity=0,
     return jnp.swapaxes(y, -3, -2)
 
 
-@functools.partial(jax.jit, static_argnames=("M", "T"))
-def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
+@functools.partial(jax.jit, static_argnames=("M", "T", "bf16", "split"))
+def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry,
+                      bf16: bool = False, split: int = 0):
     """Y: (..., Nh, M, 2) channel basebands -> (..., Nh*P, 2) wideband +
     new overlap-add carry (..., L-P, 2).
 
@@ -372,6 +412,7 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
     the analysis fold, as 2T shifted multiply-adds on (Nh, P) PLANES.
     (The earlier form materialized an (Nh, T, M, 2) tensor — T x the
     output size — and summed 2T full-length padded copies.)
+    bf16/split: channel-transform options (see _transform_hopmajor).
     """
     L = M * T
     P = M // 2
@@ -379,9 +420,7 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry):
     sgn = _hop_sign(M, Nh, hop0_parity)
     yr = Y[..., 0] * sgn
     yi = Y[..., 1] * sgn
-    C, S = (jnp.asarray(a) for a in _dft_mats(M))
-    ur = yr @ C - yi @ S                                         # (..., Nh, M)
-    ui = yr @ S + yi @ C
+    ur, ui = _transform_hopmajor(yr, yi, M, bf16, split)         # (..., Nh, M)
     gm = jnp.asarray(g).reshape(T, M) * jnp.float32(P)           # gain P -> unit roundtrip
     LP = L // P  # frames overlap factor (2T)
     batch = Y.shape[:-3]
@@ -437,14 +476,19 @@ def analyze(x, spec: ChannelizerSpec, state: AnalyzerState,
     return Y, AnalyzerState(new_hist, state.hop_idx + n // P)
 
 
-def synthesize(Y, spec: ChannelizerSpec, state: SynthesizerState):
-    """Streaming synthesis: Y (..., Nh, M, 2) -> (x (..., Nh*P, 2), state)."""
+def synthesize(Y, spec: ChannelizerSpec, state: SynthesizerState,
+               bf16: bool = False, split: int = -1):
+    """Streaming synthesis: Y (..., Nh, M, 2) -> (x (..., Nh*P, 2), state).
+    split=-1 auto-selects the two-stage transform for large M (see
+    default_split); pass 0 to force the dense matmul."""
     Nh = Y.shape[-3]
+    if split < 0:
+        split = default_split(spec.num_channels)
     x, carry = _synthesize_block(
         jnp.asarray(Y, jnp.float32),
         prototype_taps(spec.num_channels, spec.taps_per_phase),
         spec.num_channels, spec.taps_per_phase,
-        jnp.int32(state.hop_idx % 2), state.carry)
+        jnp.int32(state.hop_idx % 2), state.carry, bf16, split)
     return x, SynthesizerState(carry, state.hop_idx + Nh)
 
 

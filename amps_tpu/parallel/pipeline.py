@@ -212,7 +212,8 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
             Yl = lax.dynamic_slice_in_dim(Y, w * n_sub, n_sub, axis=0)
             xl, tail = chz._synthesize_block(
                 Yl, h, M, T, (w * n_sub) % 2,
-                jnp.zeros((L - Phop, 2), jnp.float32))
+                jnp.zeros((L - Phop, 2), jnp.float32),
+                spec.transform_bf16, split)
             # overlap-add: my tail belongs at the head of the next
             # worker's sub-block (flattened ring crosses row boundaries)
             xl = add_tail_to_right(xl, tail, ("time", "chan"), 0)

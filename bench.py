@@ -43,7 +43,14 @@ def _wait_for_tpu(budget_s: float = 2700.0) -> bool:
     return False
 
 
-def _throughput(spec, n, iters=12, use_pallas=False):
+def _throughput(spec, n, iters=128, use_pallas=False):
+    # iters=128: the tunneled chip has a per-dispatch overhead that only
+    # amortizes with a deep async queue (tools/profile_rx12.out — a
+    # trivial op costs 2.1 ms/call at 12 queued iters but 0.28 ms at
+    # 192; RX@1024ch reads 653 Msps at 12 iters vs 918 at 192).  The
+    # steady-state number is the honest one: a real deployment streams
+    # continuously with the double-buffered receiver, never one block
+    # per round trip.
     import jax
     import jax.numpy as jnp
     from amps_tpu.parallel.pipeline import rx_multichannel_block
