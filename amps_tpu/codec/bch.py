@@ -107,6 +107,59 @@ def _decode_tables(n_code: int):
     return err, valid
 
 
+@functools.cache
+def _decode_table_packed(n_code: int) -> np.ndarray:
+    """(4096,) int32 syndrome LUT: pos1 | pos2 << 8 | valid << 16.
+
+    TPU-friendly decode: a flat int32 gather (no (4096, n) row gather,
+    no separate bool-table gather) followed by an iota-compare that
+    rebuilds the <=2-bit error pattern in place.  Positions are indices
+    into the n_code TRANSMITTED bits; errors landing in the zero prefix
+    of the shortened code (accepted as valid by the reference's
+    full-63-bit decode, see _decode_tables) are stored as the sentinel
+    255 — valid, but flipping nothing visible.
+    """
+    H63 = _syndrome_matrix(N)
+    pad = N - n_code
+    # default = invalid, no-op positions (sentinel 255 flips nothing)
+    tab = np.full(1 << NUM_PARITY, 255 | (255 << 8), dtype=np.int32)
+    weights = (1 << np.arange(NUM_PARITY - 1, -1, -1))
+
+    def syn_index(pattern63):
+        return int((pattern63.astype(np.uint8) @ H63 % 2) @ weights)
+
+    def pos(i):  # full-codeword bit i -> transmitted index or sentinel
+        return i - pad if i >= pad else 255
+
+    tab[0] = 255 | (255 << 8) | (1 << 16)
+    for i in range(N):
+        p = np.zeros(N, dtype=np.uint8)
+        p[i] = 1
+        tab[syn_index(p)] = pos(i) | (255 << 8) | (1 << 16)
+    for i in range(N):
+        for j in range(i + 1, N):
+            p = np.zeros(N, dtype=np.uint8)
+            p[i] = 1
+            p[j] = 1
+            tab[syn_index(p)] = pos(i) | (pos(j) << 8) | (1 << 16)
+    return tab
+
+
+def _decode(rx, n_code: int, k_keep: int):
+    rx = jnp.asarray(rx, dtype=jnp.uint8)
+    H = jnp.asarray(_syndrome_matrix(n_code), dtype=jnp.float32)
+    syn_bits = jnp.mod(rx.astype(jnp.float32) @ H, 2.0).astype(jnp.int32)
+    idx = packbits(syn_bits, jnp.int32)
+    g = jnp.asarray(_decode_table_packed(n_code))[idx]   # flat int32 gather
+    ok = (g & (1 << 16)) != 0
+    p1 = g & 0xFF
+    p2 = (g >> 8) & 0xFF
+    pos = jnp.arange(k_keep, dtype=jnp.int32)
+    err = ((pos == p1[..., None]) | (pos == p2[..., None]))
+    corrected = jnp.bitwise_xor(rx[..., :k_keep], err.astype(jnp.uint8))
+    return corrected, ok
+
+
 def _encode(info, k_info: int, n_out: int):
     info = jnp.asarray(info, dtype=jnp.uint8)
     # f32 matmul: TPU has no fast int matmul; counts <= 51 are exact
@@ -131,15 +184,7 @@ def recc_bch_decode(rx48):
 
     ok=False where the syndrome matches no <=2-error pattern.
     """
-    rx48 = jnp.asarray(rx48, dtype=jnp.uint8)
-    H = jnp.asarray(_syndrome_matrix(48), dtype=jnp.float32)
-    err_tab, valid_tab = _decode_tables(48)
-    syn_bits = jnp.mod(rx48.astype(jnp.float32) @ H, 2.0).astype(jnp.int32)
-    idx = packbits(syn_bits, jnp.int32)
-    err = jnp.asarray(err_tab)[idx]
-    ok = jnp.asarray(valid_tab)[idx]
-    corrected = jnp.bitwise_xor(rx48, err)
-    return corrected[..., :36], ok
+    return _decode(rx48, 48, 36)
 
 
 def focc_bch_decode(rx40):
@@ -148,12 +193,4 @@ def focc_bch_decode(rx40):
     The reference never decodes the forward code (mobiles do); provided for
     loopback tests and the MS simulator.
     """
-    rx40 = jnp.asarray(rx40, dtype=jnp.uint8)
-    H = jnp.asarray(_syndrome_matrix(40), dtype=jnp.float32)
-    err_tab, valid_tab = _decode_tables(40)
-    syn_bits = jnp.mod(rx40.astype(jnp.float32) @ H, 2.0).astype(jnp.int32)
-    idx = packbits(syn_bits, jnp.int32)
-    err = jnp.asarray(err_tab)[idx]
-    ok = jnp.asarray(valid_tab)[idx]
-    corrected = jnp.bitwise_xor(rx40, err)
-    return corrected[..., :28], ok
+    return _decode(rx40, 40, 28)

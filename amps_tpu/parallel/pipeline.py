@@ -132,12 +132,14 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     if spec.io_bf16:
         demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
-    pad = jnp.zeros(demod.shape[:-1]
-                    + (correlator.CAPTURE_SYMBOLS * sps,), demod.dtype)
-    demod_p = jnp.concatenate([demod, pad], axis=-1)
-    starts, valid, quality = correlator.find_bursts(
-        demod, sps, max_bursts, threshold)
-    hard, soft = correlator.extract_bursts_batched(demod_p, starts, sps)
+    # ONE integrate-and-dump pass feeds both symbol-domain trigger
+    # detection and burst capture.  No zero pad: the one-hot extractor
+    # zero-fills past the stream tail (a capture cut off by the block
+    # edge decodes to word_ok=False, same as with an explicit pad)
+    phases = correlator.symbol_phase_streams(demod, sps)
+    starts, valid, quality = correlator.find_bursts_phases(
+        phases, sps, max_bursts, threshold)
+    hard, soft = correlator.extract_from_phases(phases, starts, sps)
     dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
     # per-channel mean band power: rejects FM "capture" ghosts — an idle
     # channel demodulating a strong neighbor's (or numerical) leakage
@@ -237,13 +239,10 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
             yext = halo_exchange_left(ymine, halo_n, "time", 2)
             demod, _ = quadrature_demod_planar(yext[0], yext[1])
             demod = demod[:, 1:]                         # drop seed sample
-            padlen = correlator.CAPTURE_SYMBOLS * sps
-            demod_p = jnp.concatenate(
-                [demod, jnp.zeros((c_loc, padlen), demod.dtype)], axis=-1)
-            starts, valid, quality = correlator.find_bursts(
-                demod, sps, max_bursts, threshold)
-            hard, _ = correlator.extract_bursts_batched(
-                demod_p, starts, sps)
+            phases = correlator.symbol_phase_streams(demod, sps)
+            starts, valid, quality = correlator.find_bursts_phases(
+                phases, sps, max_bursts, threshold)
+            hard, _ = correlator.extract_from_phases(phases, starts, sps)
             dec = decoder.decode_bursts(hard)
             # add a leading local time axis so out_specs assemble to
             # (tsize, C, K, ...) global shapes

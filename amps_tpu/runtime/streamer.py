@@ -60,16 +60,18 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
         yr, yi, 1.0, (prev_iq[:, 0], prev_iq[:, 1]))       # (M, Nh)
     last = jnp.stack([lr, li], axis=-1)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
-    padlen = correlator.CAPTURE_SYMBOLS * sps
-    demod_p = jnp.concatenate(
-        [demod, jnp.zeros((M, padlen), demod.dtype)], axis=-1)
-    starts, valid, quality = correlator.find_bursts(
-        demod, sps, max_bursts, threshold)
+    # one integrate-and-dump pass shared by symbol-domain detection and
+    # capture (see correlator.find_bursts_phases); no zero pad — the
+    # extractor zero-fills past the stream tail, and the completeness
+    # guard below drops tail-cut bursts (re-found in the next block)
+    phases = correlator.symbol_phase_streams(demod, sps)
+    starts, valid, quality = correlator.find_bursts_phases(
+        phases, sps, max_bursts, threshold)
     # only report bursts whose full capture fits this window; one cut off
     # by the block edge is re-found complete in the next block's overlap
     valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                      <= demod.shape[-1])
-    hard, _ = correlator.extract_bursts_batched(demod_p, starts, sps)
+    hard, _ = correlator.extract_from_phases(phases, starts, sps)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     new_hist = x_ext[-(M * T - M // 2):]
@@ -102,7 +104,8 @@ class MultichannelReceiver:
                  max_bursts: int = 4, threshold: float = 0.55,
                  policy: str = "first_ok",
                  tap_demod_path: Optional[str] = None,
-                 pipeline_depth: int = 1):
+                 pipeline_depth: int = 1,
+                 min_rssi: float = 0.0):
         """``tap_demod_path``: append raw per-channel FM-demod float32
         blocks to this file — the debug-tap role of the reference's
         /tmp/recc.syms file sink (grc/recctest.grc) and AMPS_DEBUG
@@ -113,7 +116,15 @@ class MultichannelReceiver:
         i-K, so the device computes block i while the host decodes
         burst reports of earlier blocks (double buffering); call
         ``flush()`` to drain the tail.  Burst callbacks are then
-        delayed by up to K blocks."""
+        delayed by up to K blocks.
+
+        ``min_rssi``: drop reports whose mean channel band power is
+        below this level.  FM is amplitude-invariant, so an idle
+        channel "capturing" a strong neighbor's sideband leakage can
+        decode cleanly at high correlation quality — but at 20+ dB
+        lower band power than any real transmission; this is the
+        knob that rejects those ghosts (BurstReport.rssi carries the
+        measured value either way)."""
         self.spec = spec
         M, T = spec.num_channels, spec.taps_per_phase
         self.M, self.T = M, T
@@ -122,6 +133,7 @@ class MultichannelReceiver:
         self._split = (chz.default_split(M) if spec.transform_split < 0
                        else spec.transform_split)
         self.threshold = threshold
+        self.min_rssi = min_rssi
         self.policy = policy
         self.on_burst = on_burst
         # overlap: a burst (trigger + capture) must fit in carry so one
@@ -183,6 +195,8 @@ class MultichannelReceiver:
         power = np.asarray(e["power"])
         out = []
         for c in range(self.M):
+            if power[c] < self.min_rssi:
+                continue
             for k in range(starts.shape[1]):
                 if not valid[c, k]:
                     continue

@@ -166,6 +166,88 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
     return starts, valid, peaks
 
 
+@functools.partial(jax.jit, static_argnames=("sps", "max_bursts",
+                                              "corr_block"))
+def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
+                       threshold: float = 0.6, corr_block: int = 128):
+    """Symbol-domain burst detection on integrate-and-dump phase streams.
+
+    phases: (..., sps, nsym) from symbol_phase_streams.  Correlating the
+    74-symbol trigger template against the sps symbol-rate streams tests
+    exactly the same sample-domain start offsets as find_bursts (start
+    s = p + k*sps <-> phase p, symbol lag k) with sps x fewer MACs per
+    template tap and sps x shorter templates (~9x less matmul work at
+    sps=3), and the phase streams are shared with burst extraction —
+    the integrate-and-dump is the matched filter for the rectangular
+    symbol pulse, so detection quality is equal or better.
+
+    Returns (starts, valid, quality) with starts in SAMPLE units
+    (index of the first capture sample, same convention as find_bursts);
+    greedy NMS masks +-1 trigger length in sample units across all
+    phases jointly.
+    """
+    x = jnp.asarray(phases)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
+    T, E, L, ws_off, tnorm, wsnorm = _detection_kernels(1, corr_block)
+    O = corr_block
+    assert O >= L - 1, (O, L)
+    nsym = x.shape[-1]
+    no = nsym - L + 1
+    nblk = -(-no // O)
+    npad = (nblk + 1) * O
+    xp = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (npad - nsym,), x.dtype)], axis=-1) \
+        if npad > nsym else x[..., :npad]
+    # window width O+L-1 <= 2O, so the Toeplitz product splits into two
+    # piece matmuls on pure reshape VIEWS of xp — the (..., nblk, O+L-1)
+    # window stack is never materialized (it is ~1.6x the input and was
+    # read twice, for T and for E)
+    Tj, Ej = np.zeros((2, O, 2 * O), np.float32), \
+        np.zeros((2, O, 2 * O), np.float32)
+    Tj[0], Ej[0] = T[:O], E[:O]
+    Tj[1, :L - 1], Ej[1, :L - 1] = T[O:], E[O:]
+    p0 = xp[..., : nblk * O].reshape(x.shape[:-1] + (nblk, O))
+    p1 = xp[..., O: (nblk + 1) * O].reshape(x.shape[:-1] + (nblk, O))
+
+    def mm(a, W):   # matmul in the data dtype, f32 accumulation
+        return jnp.matmul(a, jnp.asarray(W).astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+
+    out = mm(p0, Tj[0]) + mm(p1, Tj[1])
+    een = mm(p0 * p0, Ej[0]) + mm(p1 * p1, Ej[1])
+
+    def unblk(a):
+        return a.reshape(x.shape[:-1] + (nblk * O,))[..., :no]
+
+    corr, ws_corr = unblk(out[..., :O]), unblk(out[..., O:])
+    energy, ws_energy = unblk(een[..., :O]), unblk(een[..., O:])
+    q_full = corr / (jnp.sqrt(jnp.maximum(energy, 1e-9)) * tnorm)
+    q_ws = ws_corr / (jnp.sqrt(jnp.maximum(ws_energy, 1e-9)) * wsnorm)
+    quality = jnp.minimum(q_full, q_ws)            # (..., sps, no)
+    # flatten phases+lags; NMS in sample units (pos = p + k*sps)
+    batch = x.shape[:-2]
+    qf = quality.reshape(batch + (sps * no,))
+    pos = (jnp.arange(sps)[:, None] + sps * jnp.arange(no)[None, :]) \
+        .reshape(-1)
+
+    def body(carry, _):
+        q = carry
+        idx = jnp.argmax(q, axis=-1)
+        peak = jnp.take_along_axis(q, idx[..., None], axis=-1)[..., 0]
+        s = pos[idx]                               # (...,) sample pos
+        mask = jnp.abs(pos - s[..., None]) < L * sps
+        q = jnp.where(mask, -jnp.inf, q)
+        return q, (s, peak)
+
+    _, (spos, peaks) = lax.scan(body, qf, None, length=max_bursts)
+    spos = jnp.moveaxis(spos, 0, -1)
+    peaks = jnp.moveaxis(peaks, 0, -1)
+    starts = (spos + L * sps).astype(jnp.int32)
+    valid = peaks >= threshold
+    return starts, valid, peaks
+
+
 SYM_BLOCK = 128    # symbols per integrate-and-dump matmul block
 
 
@@ -188,8 +270,13 @@ def _dump_matrix(sps: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("sps",))
 def symbol_phase_streams(demod, sps: int):
     """(..., n) demod -> (..., sps, nsym) integrate-and-dump streams
-    (phase p stream k = mean(x[p + k*sps : p + (k+1)*sps]))."""
-    x = jnp.asarray(demod, jnp.float32)
+    (phase p stream k = mean(x[p + k*sps : p + (k+1)*sps])).
+    bfloat16 input stays bfloat16 (f32-accumulated matmul): the chip is
+    bandwidth-bound, and the downstream consumers (trigger correlation,
+    hard slicing) tolerate 8-bit mantissas (tests/test_bf16.py)."""
+    x = jnp.asarray(demod)
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.float32)
     n = x.shape[-1]
     nsym = (n - (sps - 1)) // sps
     B = SYM_BLOCK
@@ -200,7 +287,9 @@ def symbol_phase_streams(demod, sps: int):
         [x, jnp.zeros(x.shape[:-1] + (max(npad - n, 0),), x.dtype)],
         axis=-1)
     wins = _windowed(xp, B * sps, win, nblk)            # (..., nblk, win)
-    out = wins @ jnp.asarray(_dump_matrix(sps))         # (..., nblk, sps*B)
+    W = jnp.asarray(_dump_matrix(sps)).astype(x.dtype)
+    out = jnp.matmul(wins, W,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(x.shape[:-1] + (nblk, sps, B))
     out = jnp.swapaxes(out, -3, -2)                     # (..., sps, nblk, B)
     return out.reshape(x.shape[:-1] + (sps, nblk * B))[..., :nsym]
@@ -224,6 +313,14 @@ def extract_bursts_batched(demod_p, starts, sps: int):
     have clamped; callers mask by ``valid`` either way.
     """
     phases = symbol_phase_streams(demod_p, sps)     # (..., sps, nsym)
+    return extract_from_phases(phases, starts, sps)
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
+def extract_from_phases(phases, starts, sps: int):
+    """Burst capture from precomputed phase streams (..., sps, nsym)
+    (see extract_bursts_batched; sharing the streams with
+    find_bursts_phases avoids recomputing the integrate-and-dump)."""
     B = SYM_BLOCK
     nsym = phases.shape[-1]
     nb = -(-nsym // B)
@@ -239,8 +336,15 @@ def extract_bursts_batched(demod_p, starts, sps: int):
     r = k0 % B
     nout = -(-CAPTURE_SYMBOLS // B) + 1             # blocks incl realign
     tgt = b0[..., None] + jnp.arange(nout)          # (..., K, nout)
-    sel = (tgt[..., None] == jnp.arange(sps * nb)).astype(jnp.float32)
-    coarse = jnp.einsum("...kjb,...bl->...kjl", sel, blocks)
+    # clamp to phase p's own block range: a capture window crossing the
+    # stream tail must read zeros, not the NEXT phase's blocks (this is
+    # what a CAPTURE_SYMBOLS*sps zero pad used to mask — the clamp makes
+    # the pad unnecessary)
+    tgt = jnp.where(tgt < (ph + 1)[..., None] * nb, tgt, sps * nb)
+    sel = (tgt[..., None] == jnp.arange(sps * nb)).astype(blocks.dtype)
+    coarse = jnp.einsum("...kjb,...bl->...kjl", sel, blocks,
+                        preferred_element_type=jnp.float32) \
+        .astype(blocks.dtype)
     flat = coarse.reshape(batch + (st.shape[-1], nout * B))
     for bit in range(B.bit_length() - 1):           # realign by r < B
         amt = 1 << bit

@@ -58,11 +58,15 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
 
     dec, ok = recc_bch_decode(reps)  # (...,7,5,36), (...,7,5)
 
-    # first_ok selection: index of first True (argmax of bool), ok if any
+    # first_ok selection: index of first True (argmax of bool), ok if any.
+    # One-hot combine, NOT take_along_axis: a batched gather on a
+    # (..., 7, 5, 36) uint8 tensor measures ~0.9 ms on this chip; the
+    # masked reduce is a trivial fused VPU loop.
     first_idx = jnp.argmax(ok, axis=-1)                       # (...,7)
     any_ok = jnp.any(ok, axis=-1)
-    first_words = jnp.take_along_axis(
-        dec, first_idx[..., None, None], axis=-2)[..., 0, :]
+    onehot = (jnp.arange(NUM_REPEATS) == first_idx[..., None])
+    first_words = jnp.sum(
+        dec * onehot[..., None].astype(dec.dtype), axis=-2).astype(dec.dtype)
 
     if policy == "first_ok":
         words, used, wok = first_words, first_idx, any_ok

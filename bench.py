@@ -82,18 +82,19 @@ def main():
     from amps_tpu.parallel.pipeline import MultichannelSpec
 
     n = 1 << 22
-    # fold="bank": permutation-absorbed two-bank analyzer, the validated
-    # production path (decode bit-parity tested; see tools/profile_rx*.out
-    # for the optimization record on this chip)
+    # fold="bank": permutation-absorbed two-bank analyzer; io_bf16: bf16
+    # data plane with f32-accumulated matmuls — both are the validated
+    # production path (decode bit-parity: tests/test_bf16.py; the
+    # optimization record on this chip is in tools/profile_rx*.out)
     m1024 = _throughput(MultichannelSpec(num_channels=1024,
                                          taps_per_phase=8,
-                                         fold="bank"), n)
+                                         fold="bank", io_bf16=True), n)
     m256 = _throughput(MultichannelSpec(num_channels=256,
                                         taps_per_phase=8,
-                                        fold="bank"), n)
+                                        fold="bank", io_bf16=True), n)
     m128 = _throughput(MultichannelSpec(num_channels=128,
                                         taps_per_phase=8,
-                                        fold="bank"), n)
+                                        fold="bank", io_bf16=True), n)
 
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {
