@@ -145,19 +145,41 @@ def _decode_table_packed(n_code: int) -> np.ndarray:
     return tab
 
 
-def _decode(rx, n_code: int, k_keep: int):
+def _syndrome_packed(rx, n_code: int):
+    """(..., n_code) received bits -> (...,) packed int32 LUT values
+    (pos1 | pos2 << 8 | valid << 16, see _decode_table_packed).
+
+    Split out so callers that only need SOME corrected words (e.g. the
+    5-repeat first_ok policy, rx/decoder.py) can rank repeats on these
+    cheap scalars and build the error pattern for the selected repeat
+    only."""
     rx = jnp.asarray(rx, dtype=jnp.uint8)
     H = jnp.asarray(_syndrome_matrix(n_code), dtype=jnp.float32)
     syn_bits = jnp.mod(rx.astype(jnp.float32) @ H, 2.0).astype(jnp.int32)
     idx = packbits(syn_bits, jnp.int32)
-    g = jnp.asarray(_decode_table_packed(n_code))[idx]   # flat int32 gather
-    ok = (g & (1 << 16)) != 0
+    return jnp.asarray(_decode_table_packed(n_code))[idx]
+
+
+def apply_error_pattern(word, g, k_keep: int):
+    """XOR the <=2-bit error pattern encoded in packed LUT value ``g``
+    into (..., >=k_keep) received bits; returns (..., k_keep) corrected."""
+    word = jnp.asarray(word, jnp.uint8)
     p1 = g & 0xFF
     p2 = (g >> 8) & 0xFF
     pos = jnp.arange(k_keep, dtype=jnp.int32)
     err = ((pos == p1[..., None]) | (pos == p2[..., None]))
-    corrected = jnp.bitwise_xor(rx[..., :k_keep], err.astype(jnp.uint8))
-    return corrected, ok
+    return jnp.bitwise_xor(word[..., :k_keep], err.astype(jnp.uint8))
+
+
+def _decode(rx, n_code: int, k_keep: int):
+    g = _syndrome_packed(rx, n_code)
+    ok = (g & (1 << 16)) != 0
+    return apply_error_pattern(rx, g, k_keep), ok
+
+
+def recc_syndrome_packed(rx48):
+    """(..., 48) received bits -> packed int32 LUT values (valid bit 16)."""
+    return _syndrome_packed(rx48, 48)
 
 
 def _encode(info, k_info: int, n_out: int):

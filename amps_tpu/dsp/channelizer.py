@@ -303,10 +303,17 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
         # shifted multiply-adds on (2, nblk, P) planes, and apply the
         # permutation-absorbed transform matrices straight to the banks
         # (no flip/concat/transpose between fold and MXU).
+        # bf16: fold in bfloat16 too — the folded banks are matmul
+        # operands that must materialize in HBM (2x (2, Nh, P) planes,
+        # the analyze stage's dominant traffic); a bf16 fold halves
+        # those bytes on a bandwidth-bound chip, and the T=8-term
+        # multiply-add chain at 8-bit mantissas is far above the FM
+        # discriminator's needs (tests/test_bf16.py).
+        fold_t = jnp.bfloat16 if bf16 else jnp.float32
         xpl = jnp.swapaxes(x_ext[..., : nblk * P, :], -1, -2)    # (..., 2, n)
-        bl = xpl.reshape(batch + (2, nblk, P)).astype(jnp.float32)
-        ke = k_even                                              # (T, P)
-        ko = k_odd
+        bl = xpl.reshape(batch + (2, nblk, P)).astype(fold_t)
+        ke = k_even.astype(fold_t)                               # (T, P)
+        ko = k_odd.astype(fold_t)
         acc_e = ke[0] * bl[..., 0:Nh, :]
         acc_o = ko[0] * bl[..., 1:1 + Nh, :]
         for t in range(1, T):

@@ -109,13 +109,20 @@ def fm_modulate(x, sensitivity: float, phase0=0.0):
     return riq.expj(phase), phase[..., -1]
 
 
-def quadrature_demod_planar(xr, xi, gain: float = 1.0, prev=None):
+def quadrature_demod_planar(xr, xi, gain: float = 1.0, prev=None,
+                            return_power: bool = False):
     """quadrature_demod on planar I/Q planes (TPU-friendly layout: a
     (..., 2)-minor axis wastes 126/128 lanes of every tile).
 
     xr, xi: (..., n) float32 planes.  ``prev``: (pr, pi) arrays of
     shape (...,) — the previous block's last sample — or None.
-    Returns (demod (..., n), (last_r, last_i))."""
+    Returns (demod (..., n), (last_r, last_i)); with ``return_power``
+    also a (...,) mean band power per stream, estimated from the SAME
+    conjugate product the discriminator computes: |x[n]·conj(x[n-1])| is
+    |x[n]||x[n-1]| = the instantaneous power of a constant-envelope (FM)
+    signal, so sqrt(mean(re²+im²)) ≈ mean |x|² with zero extra HBM reads
+    (a separate mean(xr²+xi²) pass over 1024-channel planes measured
+    ~0.5 ms — a full re-read of the analysis output)."""
     xr = jnp.asarray(xr, jnp.float32)
     xi = jnp.asarray(xi, jnp.float32)
     if prev is None:
@@ -129,6 +136,9 @@ def quadrature_demod_planar(xr, xi, gain: float = 1.0, prev=None):
     re = xr * sr + xi * si
     im = xi * sr - xr * si
     demod = fast_atan2(im, re) * jnp.float32(gain)
+    if return_power:
+        power = jnp.sqrt(jnp.mean(re * re + im * im, axis=-1))
+        return demod, (xr[..., -1], xi[..., -1]), power
     return demod, (xr[..., -1], xi[..., -1])
 
 

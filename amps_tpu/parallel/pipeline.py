@@ -59,6 +59,10 @@ class MultichannelSpec:
     # identical, so halving data-plane bytes is pure win; decode parity
     # is covered by tests/test_bf16.py.
     io_bf16: bool = False
+    # corr_bf16: also write the trigger-correlation matmul outputs and
+    # the derived quality plane (the find stage's dominant HBM traffic)
+    # in bfloat16; quality only feeds a threshold compare + argmax.
+    corr_bf16: bool = False
 
     @property
     def chz_spec(self) -> chz.ChannelizerSpec:
@@ -128,7 +132,13 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         if spec.io_bf16:
             ypl = ypl.astype(jnp.bfloat16)
         yr, yi = ypl[0], ypl[1]
-    demod, _ = quadrature_demod_planar(yr, yi)           # (C, Nh)
+    # chan_power rides the demod pass (same conjugate-product read):
+    # per-channel mean band power rejects FM "capture" ghosts — an idle
+    # channel demodulating a strong neighbor's (or numerical) leakage
+    # decodes cleanly (FM is amplitude-invariant) but at 20+ dB lower
+    # power; see runtime/streamer.BurstReport.rssi
+    demod, _, chan_power = quadrature_demod_planar(
+        yr, yi, return_power=True)                       # (C, Nh), (C,)
     if spec.io_bf16:
         demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
@@ -138,14 +148,9 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     # edge decodes to word_ok=False, same as with an explicit pad)
     phases = correlator.symbol_phase_streams(demod, sps)
     starts, valid, quality = correlator.find_bursts_phases(
-        phases, sps, max_bursts, threshold)
+        phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
     hard, soft = correlator.extract_from_phases(phases, starts, sps)
     dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
-    # per-channel mean band power: rejects FM "capture" ghosts — an idle
-    # channel demodulating a strong neighbor's (or numerical) leakage
-    # decodes cleanly (FM is amplitude-invariant) but at 20+ dB lower
-    # power; see runtime/streamer.BurstReport.rssi
-    chan_power = jnp.mean(yr * yr + yi * yi, axis=-1)
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,

@@ -56,8 +56,14 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
                                      split, fold, planar=True)  # (2, M, Nh)
     yr, yi = ypl[0], ypl[1]
     Nh = yr.shape[-1]
-    demod_new, (lr, li) = quadrature_demod_planar(
-        yr, yi, 1.0, (prev_iq[:, 0], prev_iq[:, 1]))       # (M, Nh)
+    # chan_power rides the demod pass (|x·conj(x[-1])| is the
+    # instantaneous power of a constant-envelope FM signal): lets
+    # callers reject FM "capture" ghosts (an idle channel demodulating
+    # a strong neighbor's sideband leakage decodes cleanly but at
+    # ~20+ dB lower power) with zero extra reads of the channel planes
+    demod_new, (lr, li), chan_power = quadrature_demod_planar(
+        yr, yi, 1.0, (prev_iq[:, 0], prev_iq[:, 1]),
+        return_power=True)                                 # (M, Nh)
     last = jnp.stack([lr, li], axis=-1)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
     # one integrate-and-dump pass shared by symbol-domain detection and
@@ -76,10 +82,6 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     new_hist = x_ext[-(M * T - M // 2):]
     new_parity = (hop_parity + Nh) % 2
-    # per-channel mean band power this block: lets callers reject FM
-    # "capture" ghosts (an idle channel demodulating a strong neighbor's
-    # sideband leakage decodes cleanly but at ~20+ dB lower power)
-    chan_power = jnp.mean(yr * yr + yi * yi, axis=-1)
     return (starts, valid, quality, hard, new_hist, new_parity,
             new_carry, last, Nh, chan_power,
             demod_new if want_demod else None)

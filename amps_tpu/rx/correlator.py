@@ -167,9 +167,10 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "max_bursts",
-                                              "corr_block"))
+                                              "corr_block", "out_bf16"))
 def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
-                       threshold: float = 0.6, corr_block: int = 128):
+                       threshold: float = 0.6, corr_block: int = 128,
+                       out_bf16: bool = False):
     """Symbol-domain burst detection on integrate-and-dump phase streams.
 
     phases: (..., sps, nsym) from symbol_phase_streams.  Correlating the
@@ -210,9 +211,16 @@ def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
     p0 = xp[..., : nblk * O].reshape(x.shape[:-1] + (nblk, O))
     p1 = xp[..., O: (nblk + 1) * O].reshape(x.shape[:-1] + (nblk, O))
 
+    # out_bf16: write the correlation/energy matmul outputs (the biggest
+    # arrays this stage touches — 2x (..., nblk, 2*O) per operator) and
+    # the derived quality plane in bfloat16.  The MXU still accumulates
+    # in f32; quality only feeds a >= threshold compare and an argmax
+    # ranking, which tolerate 8-bit mantissas.
+    acc_t = jnp.bfloat16 if out_bf16 else jnp.float32
+
     def mm(a, W):   # matmul in the data dtype, f32 accumulation
         return jnp.matmul(a, jnp.asarray(W).astype(x.dtype),
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=acc_t)
 
     out = mm(p0, Tj[0]) + mm(p1, Tj[1])
     een = mm(p0 * p0, Ej[0]) + mm(p1 * p1, Ej[1])
@@ -222,8 +230,9 @@ def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
 
     corr, ws_corr = unblk(out[..., :O]), unblk(out[..., O:])
     energy, ws_energy = unblk(een[..., :O]), unblk(een[..., O:])
-    q_full = corr / (jnp.sqrt(jnp.maximum(energy, 1e-9)) * tnorm)
-    q_ws = ws_corr / (jnp.sqrt(jnp.maximum(ws_energy, 1e-9)) * wsnorm)
+    q_full = corr / (jnp.sqrt(jnp.maximum(energy, acc_t(1e-9))) * acc_t(tnorm))
+    q_ws = ws_corr / (jnp.sqrt(jnp.maximum(ws_energy, acc_t(1e-9)))
+                      * acc_t(wsnorm))
     quality = jnp.minimum(q_full, q_ws)            # (..., sps, no)
     # flatten phases+lags; NMS in sample units (pos = p + k*sps)
     batch = x.shape[:-2]
@@ -231,18 +240,25 @@ def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
     pos = (jnp.arange(sps)[:, None] + sps * jnp.arange(no)[None, :]) \
         .reshape(-1)
 
-    def body(carry, _):
-        q = carry
+    # Unrolled greedy NMS (max_bursts is static and small): each
+    # argmax's input is the ORIGINAL quality with the accepted
+    # neighborhoods masked lazily, so XLA fuses the masking into the
+    # reduce — no per-iteration carry materialization (a scan writes +
+    # re-reads the full (..., sps*no) plane every step; at 1024 channels
+    # that is ~2x 32 MB of pure HBM traffic per extra burst).
+    spos_l, peaks_l = [], []
+    q = qf
+    for k in range(max_bursts):
         idx = jnp.argmax(q, axis=-1)
         peak = jnp.take_along_axis(q, idx[..., None], axis=-1)[..., 0]
         s = pos[idx]                               # (...,) sample pos
-        mask = jnp.abs(pos - s[..., None]) < L * sps
-        q = jnp.where(mask, -jnp.inf, q)
-        return q, (s, peak)
-
-    _, (spos, peaks) = lax.scan(body, qf, None, length=max_bursts)
-    spos = jnp.moveaxis(spos, 0, -1)
-    peaks = jnp.moveaxis(peaks, 0, -1)
+        spos_l.append(s)
+        peaks_l.append(peak.astype(jnp.float32))
+        if k + 1 < max_bursts:
+            mask = jnp.abs(pos - s[..., None]) < L * sps
+            q = jnp.where(mask, acc_t(-jnp.inf), q)
+    spos = jnp.stack(spos_l, axis=-1)
+    peaks = jnp.stack(peaks_l, axis=-1)
     starts = (spos + L * sps).astype(jnp.int32)
     valid = peaks >= threshold
     return starts, valid, peaks

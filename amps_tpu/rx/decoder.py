@@ -26,7 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from amps_tpu.codec.bch import recc_bch_decode
+from amps_tpu.codec.bch import (apply_error_pattern, recc_bch_decode,
+                                recc_syndrome_packed)
 from amps_tpu.codec.manchester import manchester_decode_bits
 
 NUM_WORDS = 7
@@ -56,17 +57,26 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
     word_bits, word_bad = manchester_decode_bits(word_sym)  # (...,7,240)
     reps = word_bits.reshape(batch + (NUM_WORDS, NUM_REPEATS, WORD_CODED_BITS))
 
-    dec, ok = recc_bch_decode(reps)  # (...,7,5,36), (...,7,5)
-
-    # first_ok selection: index of first True (argmax of bool), ok if any.
-    # One-hot combine, NOT take_along_axis: a batched gather on a
-    # (..., 7, 5, 36) uint8 tensor measures ~0.9 ms on this chip; the
-    # masked reduce is a trivial fused VPU loop.
+    # Select-then-correct: rank the 5 repeats on their packed syndrome
+    # LUT values (one int32 per repeat), one-hot select the winning
+    # repeat's RAW bits + LUT value, and build the <=2-bit error pattern
+    # ONCE for the selected repeat.  Correction commutes with selection
+    # (each repeat's correction depends only on its own syndrome), so
+    # this is output-identical to correcting all 5 repeats first — but
+    # never materializes the (..., 7, 5, 36) corrected tensor and does
+    # 1/5 the iota-compare/xor work.  Invalid syndromes carry sentinel
+    # positions (255) that flip nothing, so not-ok words still pass
+    # through their raw first-repeat bits exactly as before.
+    g = recc_syndrome_packed(reps)                            # (...,7,5) i32
+    ok = (g & (1 << 16)) != 0
     first_idx = jnp.argmax(ok, axis=-1)                       # (...,7)
     any_ok = jnp.any(ok, axis=-1)
     onehot = (jnp.arange(NUM_REPEATS) == first_idx[..., None])
-    first_words = jnp.sum(
-        dec * onehot[..., None].astype(dec.dtype), axis=-2).astype(dec.dtype)
+    g_sel = jnp.sum(g * onehot, axis=-1)                      # (...,7)
+    rep_sel = jnp.sum(
+        reps * onehot[..., None].astype(reps.dtype), axis=-2) \
+        .astype(reps.dtype)                                   # (...,7,48)
+    first_words = apply_error_pattern(rep_sel, g_sel, 36)
 
     if policy == "first_ok":
         words, used, wok = first_words, first_idx, any_ok

@@ -49,6 +49,20 @@ def test_io_bf16_pipeline_still_decodes():
     from amps_tpu.parallel.pipeline import rx_multichannel_block
 
     spec = MultichannelSpec(num_channels=16, fold="bank", io_bf16=True)
+    _run_bf16_pipeline(spec)
+
+
+def test_corr_bf16_pipeline_still_decodes():
+    """corr_bf16 (bf16 correlation/quality plane) decodes bit-exact."""
+    from amps_tpu.parallel.pipeline import rx_multichannel_block
+
+    spec = MultichannelSpec(num_channels=16, fold="bank", io_bf16=True,
+                            corr_bf16=True)
+    _run_bf16_pipeline(spec)
+
+
+def _run_bf16_pipeline(spec):
+    from amps_tpu.parallel.pipeline import rx_multichannel_block
     sps = spec.chan_sps
     words = recc_ms.page_response_words("5551234567")
     syms = recc_ms.burst_symbols(words, 0, sps)

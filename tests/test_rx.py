@@ -201,3 +201,27 @@ def test_batched_onehot_extract_matches_slicing(rng):
     )(xp, starts)
     assert np.allclose(np.asarray(soft_b), np.asarray(soft_s), atol=1e-5)
     assert np.array_equal(np.asarray(hard_b), np.asarray(hard_s))
+
+
+def test_decode_select_then_correct_matches_correct_then_select(rng):
+    """decode_bursts ranks repeats on packed syndromes and corrects only
+    the selected repeat; must equal correcting all 5 repeats first and
+    then selecting the first decodable one (the direct formulation),
+    including on pure-noise captures (not-ok words pass raw bits)."""
+    from amps_tpu.codec.bch import recc_bch_decode
+    from amps_tpu.codec.manchester import manchester_decode_bits
+
+    caps = rng.integers(0, 2, (6, correlator.CAPTURE_SYMBOLS)).astype(np.uint8)
+    dec = decoder.decode_bursts(caps)
+
+    word_sym = caps[:, 14:].reshape(6, 7, 480)
+    bits, _ = manchester_decode_bits(word_sym)
+    reps = np.asarray(bits).reshape(6, 7, 5, 48)
+    all_dec, all_ok = recc_bch_decode(reps)
+    all_dec, all_ok = np.asarray(all_dec), np.asarray(all_ok)
+    first = np.argmax(all_ok, axis=-1)
+    want = np.take_along_axis(
+        all_dec, first[..., None, None], axis=-2)[..., 0, :]
+    assert np.array_equal(np.asarray(dec.words), want)
+    assert np.array_equal(np.asarray(dec.word_ok), all_ok.any(-1))
+    assert np.array_equal(np.asarray(dec.repeat_used), first)
