@@ -143,6 +143,36 @@ def _dft_mats_folded(M: int):
             np.sin(ang_e).astype(np.float32))
 
 
+@functools.cache
+def _dft_mats_folded_fused(M: int) -> np.ndarray:
+    """One (2M, 4P) matrix computing BOTH derotated output planes from
+    the concatenated fold banks in a single MXU pass.
+
+    With v_cat = [or | oi | er | ei] (the odd/even bank I/Q planes along
+    the contraction axis) and the per-channel derotation e^{+j 2π k / M}
+    (rc, rs) absorbed into the rows,
+        out[:M]  = yr2 = Re{ e^{+j2πk/M} (Eo (or + j oi) + Ee (er + j ei)) }
+        out[M:]  = yi2 = Im{ ... }
+    Versus four (M, P) matrices applied twice each (8 dots), the fused
+    operand is read ONCE — half the dominant HBM traffic of the analyze
+    stage — at identical FLOPs, and the derotation costs nothing."""
+    P = M // 2
+    Co, So, Ce, Se = _dft_mats_folded(M)
+    ang = 2.0 * np.pi * np.arange(M) / M
+    rc = np.cos(ang).astype(np.float32)[:, None]
+    rs = np.sin(ang).astype(np.float32)[:, None]
+    A = np.zeros((2 * M, 4 * P), np.float32)
+    A[:M, 0 * P:1 * P] = rc * Co - rs * So
+    A[:M, 1 * P:2 * P] = -(rc * So + rs * Co)
+    A[:M, 2 * P:3 * P] = rc * Ce - rs * Se
+    A[:M, 3 * P:4 * P] = -(rc * Se + rs * Ce)
+    A[M:, 0 * P:1 * P] = rs * Co + rc * So
+    A[M:, 1 * P:2 * P] = rc * Co - rs * So
+    A[M:, 2 * P:3 * P] = rs * Ce + rc * Se
+    A[M:, 3 * P:4 * P] = rc * Ce - rs * Se
+    return A
+
+
 def default_split(M: int) -> int:
     """Auto split factor M2 for the channel transform: two-stage with a
     128-deep first contraction once M is large enough that the dense
@@ -248,9 +278,11 @@ class SynthesizerState:
     hop_idx: int = 0
 
 
-def analyzer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
+def analyzer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = (),
+                  planar_in: bool = False):
     L, P = spec.ntaps, spec.hop
-    return AnalyzerState(jnp.zeros(batch + (L - P, 2), jnp.float32), 0)
+    shape = batch + ((2, L - P) if planar_in else (L - P, 2))
+    return AnalyzerState(jnp.zeros(shape, jnp.float32), 0)
 
 
 def synthesizer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
@@ -260,11 +292,14 @@ def synthesizer_init(spec: ChannelizerSpec, batch: Tuple[int, ...] = ()):
 
 @functools.partial(jax.jit,
                    static_argnames=("M", "T", "bf16", "split", "fold",
-                                    "planar"))
+                                    "planar", "planar_in"))
 def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
                            bf16: bool = False, split: int = 0,
-                           fold: str = "conv", planar: bool = False):
-    """x_ext: (..., L-P+N, 2) riq with history prepended (N = Nh*P).
+                           fold: str = "conv", planar: bool = False,
+                           planar_in: bool = False):
+    """x_ext: (..., L-P+N, 2) riq with history prepended (N = Nh*P),
+    or (..., 2, L-P+N) planar planes when ``planar_in`` (bank fold only
+    — skips the on-device (N, 2) -> (2, N) deinterleave transpose).
     Returns Y (..., M, Nh, 2) CHANNEL-major — the layout the per-channel
     demod/correlator stages consume with zero transposes.
 
@@ -281,7 +316,7 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     stages (demod, correlation) should consume planes."""
     L = M * T
     P = M // 2
-    n_ext = x_ext.shape[-2]
+    n_ext = x_ext.shape[-1 if planar_in else -2]
     Nh = (n_ext - (L - P)) // P
     # Polyphase fold as DEPTHWISE convs over hop blocks.  The hop-n
     # window covers samples nP + m', m' = tM + q_w (t < T, q_w < M), and
@@ -292,33 +327,73 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     # (even/odd block parity), P channels each, kernel length T — with
     # NO (Nh, L) window materialization (2T x less HBM traffic).
     nblk = n_ext // P                                            # Nh + 2T - 1
-    blocks = x_ext[..., : nblk * P, :].reshape(
-        x_ext.shape[:-2] + (nblk, P, 2))
+    assert not planar_in or fold in ("bank", "bank2"), \
+        "planar_in needs a bank fold"
+    batch = x_ext.shape[:-2]
     coef = jnp.asarray(h)[::-1].reshape(T, M)                    # coef[t, q_w]
     k_even = coef[:, :P]                                         # q_w <  P
     k_odd = coef[:, P:]                                          # q_w >= P
-    batch = x_ext.shape[:-2]
+    if fold == "bank2":
+        # Single-matmul variant of "bank": fold straight into one
+        # (..., Nh, 4P) operand [or | oi | er | ei] (the concatenate
+        # fuses into the fold's multiply-add producers) and apply the
+        # fused (2M, 4P) transform+derotation matrix once — the operand
+        # is read ONCE by the MXU instead of four (Nh, P) planes twice
+        # each, and out IS the planar (2, M, Nh) result up to a reshape.
+        fold_t = jnp.bfloat16 if bf16 else jnp.float32
+        if planar_in:
+            xpl = x_ext[..., : nblk * P]                         # (..., 2, n)
+        else:
+            xpl = jnp.swapaxes(x_ext[..., : nblk * P, :], -1, -2)
+        bl = xpl.reshape(batch + (2, nblk, P)).astype(jnp.float32)
+        acc_e = k_even[0] * bl[..., 0:Nh, :]
+        acc_o = k_odd[0] * bl[..., 1:1 + Nh, :]
+        for t in range(1, T):
+            acc_e = acc_e + k_even[t] * bl[..., 2 * t: 2 * t + Nh, :]
+            acc_o = acc_o + k_odd[t] * bl[..., 2 * t + 1: 2 * t + 1 + Nh, :]
+        vcat = jnp.concatenate(
+            [acc_o[..., 0, :, :], acc_o[..., 1, :, :],
+             acc_e[..., 0, :, :], acc_e[..., 1, :, :]],
+            axis=-1).astype(fold_t)                              # (..., Nh, 4P)
+        A = jnp.asarray(_dft_mats_folded_fused(M)).astype(vcat.dtype)
+        out = jnp.einsum("kq,...nq->...kn", A, vcat,
+                         preferred_element_type=jnp.float32)     # (..., 2M, Nh)
+        y2 = out.reshape(batch + (2, M, Nh))
+        sgn = jnp.swapaxes(_hop_sign(M, Nh, hop0_parity), -1, -2)
+        y2 = y2 * sgn
+        if planar:
+            return y2
+        return jnp.stack([y2[..., 0, :, :], y2[..., 1, :, :]], axis=-1)
+    if not planar_in:
+        blocks = x_ext[..., : nblk * P, :].reshape(
+            x_ext.shape[:-2] + (nblk, P, 2))
     if fold == "bank":
         # Fully planar path: deinterleave once, fold both banks as
         # shifted multiply-adds on (2, nblk, P) planes, and apply the
         # permutation-absorbed transform matrices straight to the banks
         # (no flip/concat/transpose between fold and MXU).
-        # bf16: fold in bfloat16 too — the folded banks are matmul
-        # operands that must materialize in HBM (2x (2, Nh, P) planes,
-        # the analyze stage's dominant traffic); a bf16 fold halves
-        # those bytes on a bandwidth-bound chip, and the T=8-term
-        # multiply-add chain at 8-bit mantissas is far above the FM
-        # discriminator's needs (tests/test_bf16.py).
+        # bf16: fold COMPUTE stays f32 (the shifted multiply-adds fuse
+        # into one VPU pass over the f32 input), but the folded banks —
+        # matmul operands that must materialize in HBM (2x (2, Nh, P)
+        # planes, the analyze stage's dominant traffic) — are written in
+        # bfloat16, halving the bytes the transform matmuls re-read.
+        # (Folding IN bf16 measured slower: it adds an input-cast pass
+        # and bf16 multiply-adds on the VPU, tools/profile_rx18.out.)
         fold_t = jnp.bfloat16 if bf16 else jnp.float32
-        xpl = jnp.swapaxes(x_ext[..., : nblk * P, :], -1, -2)    # (..., 2, n)
-        bl = xpl.reshape(batch + (2, nblk, P)).astype(fold_t)
-        ke = k_even.astype(fold_t)                               # (T, P)
-        ko = k_odd.astype(fold_t)
+        if planar_in:
+            xpl = x_ext[..., : nblk * P]                         # (..., 2, n)
+        else:
+            xpl = jnp.swapaxes(x_ext[..., : nblk * P, :], -1, -2)
+        bl = xpl.reshape(batch + (2, nblk, P)).astype(jnp.float32)
+        ke = k_even                                              # (T, P)
+        ko = k_odd
         acc_e = ke[0] * bl[..., 0:Nh, :]
         acc_o = ko[0] * bl[..., 1:1 + Nh, :]
         for t in range(1, T):
             acc_e = acc_e + ke[t] * bl[..., 2 * t: 2 * t + Nh, :]
             acc_o = acc_o + ko[t] * bl[..., 2 * t + 1: 2 * t + 1 + Nh, :]
+        acc_e = acc_e.astype(fold_t)
+        acc_o = acc_o.astype(fold_t)
         # acc_* : (..., 2, Nh, P); fe[n, q] = acc_e[n, q] etc.
         er, ei = acc_e[..., 0, :, :], acc_e[..., 1, :, :]
         or_, oi = acc_o[..., 0, :, :], acc_o[..., 1, :, :]
@@ -454,32 +529,41 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry,
 
 def analyze(x, spec: ChannelizerSpec, state: AnalyzerState,
             chmajor: bool = False, bf16: bool = False,
-            split: int = -1, fold: str = "conv", planar: bool = False):
-    """Streaming analysis: x (..., N, 2), N a multiple of spec.hop.
+            split: int = -1, fold: str = "conv", planar: bool = False,
+            planar_in: bool = False):
+    """Streaming analysis: x (..., N, 2), N a multiple of spec.hop —
+    or planar planes (..., 2, N) when ``planar_in`` (bank fold only;
+    state from analyzer_init(..., planar_in=True)).
     Returns (Y, new state); Y is (..., N/P, M, 2) hop-major,
     (..., M, N/P, 2) channel-major when ``chmajor``, or
     (..., 2, M, N/P) planar channel-major when also ``planar``.
     split=-1 auto-selects the two-stage transform for large M (see
     default_split); pass 0 to force the dense matmul."""
     P = spec.hop
-    n = x.shape[-2]
+    n = x.shape[-1] if planar_in else x.shape[-2]
     assert n % P == 0, f"block length {n} not a multiple of hop {P}"
     assert chmajor or not planar, "planar output requires chmajor"
     if split < 0:
         split = default_split(spec.num_channels)
+    cat_axis = -1 if planar_in else -2
     x_ext = jnp.concatenate([state.history, jnp.asarray(x, jnp.float32)],
-                            axis=-2)
+                            axis=cat_axis)
     if chmajor:
         Y = _analyze_block_chmajor(
             x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
             spec.num_channels, spec.taps_per_phase,
-            jnp.int32(state.hop_idx % 2), bf16, split, fold, planar)
+            jnp.int32(state.hop_idx % 2), bf16, split, fold, planar,
+            planar_in)
     else:
+        assert not planar_in
         Y = _analyze_block(
             x_ext, prototype_taps(spec.num_channels, spec.taps_per_phase),
             spec.num_channels, spec.taps_per_phase,
             jnp.int32(state.hop_idx % 2), bf16, split, fold)
-    new_hist = x_ext[..., -(spec.ntaps - P):, :]
+    if planar_in:
+        new_hist = x_ext[..., -(spec.ntaps - P):]
+    else:
+        new_hist = x_ext[..., -(spec.ntaps - P):, :]
     return Y, AnalyzerState(new_hist, state.hop_idx + n // P)
 
 

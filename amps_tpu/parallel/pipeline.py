@@ -99,7 +99,10 @@ def tx_multichannel_block(word_pairs, spec: MultichannelSpec):
 def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
                           threshold: float = 0.55,
                           use_pallas: bool = False):
-    """Wideband (N, 2) -> per-channel decoded RECC bursts.
+    """Wideband (N, 2) — or planar (2, N) planes — -> per-channel
+    decoded RECC bursts.  Planar input (fold="bank" only) skips the
+    on-device interleaved->planar transpose; SDR adapters can deliver
+    planar planes directly (runtime/sdr.py).
 
     Returns dict with starts/valid/quality (C, K) and decoded words
     (C, K, 7, 36) + ok (C, K, 7).  Uses the fused Pallas analysis
@@ -109,10 +112,12 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     M = spec.num_channels
     T = spec.taps_per_phase
     P = M // 2
-    Nh = x.shape[0] // P
+    planar_in = x.ndim == 2 and x.shape[0] == 2 and x.shape[1] != 2
+    Nh = x.shape[-1 if planar_in else 0] // P
     # M cap: the kernel holds 4 (M, M) f32 transform matrices in VMEM
     # (4*M^2*4 bytes); beyond M=256 that crowds the ~16 MB budget
-    pallas_ok = (use_pallas and M % 128 == 0 and M <= 256 and Nh % 256 == 0)
+    pallas_ok = (use_pallas and not planar_in and M % 128 == 0
+                 and M <= 256 and Nh % 256 == 0)
     if pallas_ok:
         from amps_tpu import pallas as plk
         pallas_ok = plk.enabled()
@@ -125,10 +130,12 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         yr, yi = ych[..., 0], ych[..., 1]
     else:
         ypl, _ = chz.analyze(x, spec.chz_spec,
-                             chz.analyzer_init(spec.chz_spec),
+                             chz.analyzer_init(spec.chz_spec,
+                                               planar_in=planar_in),
                              chmajor=True, bf16=spec.transform_bf16,
                              split=spec.transform_split,
-                             fold=spec.fold, planar=True)  # (2, C, Nh)
+                             fold=spec.fold, planar=True,
+                             planar_in=planar_in)  # (2, C, Nh)
         if spec.io_bf16:
             ypl = ypl.astype(jnp.bfloat16)
         yr, yi = ypl[0], ypl[1]

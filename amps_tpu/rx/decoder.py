@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -50,10 +51,26 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
     """Decode (..., 3374) sliced 0/1 RECC captures."""
     s = jnp.asarray(symbols)
     batch = s.shape[:-1]
-    dcc_sym = s[..., : 2 * DCC_BITS]
     word_sym = s[..., 2 * DCC_BITS:].reshape(batch + (NUM_WORDS, 480))
 
-    dcc_bits, dcc_bad = manchester_decode_bits(dcc_sym)
+    # DCC bits via one-hot matmul over the full capture width: a
+    # stride-2 slice of 7 columns is a lane-granularity gather that
+    # measured ~0.45 ms of the 1024-ch pipeline; the matmul re-reads a
+    # plane the MXU streams at full rate (tools/profile_dec7.out,
+    # slice 1380 -> matmul 1533 Msps).  Bit value = complement of the
+    # first half-symbol, exactly manchester_decode_bits' convention.
+    sel = np.zeros((s.shape[-1], DCC_BITS), np.float32)
+    sel[np.arange(0, 2 * DCC_BITS, 2), np.arange(DCC_BITS)] = 1.0
+    picked = jnp.matmul(s.astype(jnp.bfloat16), jnp.asarray(sel, jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    dcc_bits = (1.0 - picked).astype(jnp.uint8)
+    # bad count = pairs whose halves agree, from a CONTIGUOUS
+    # adjacent-xor masked to even offsets (no strided views)
+    agree = 1 - jnp.bitwise_xor(
+        s[..., : 2 * DCC_BITS - 1], s[..., 1: 2 * DCC_BITS]).astype(jnp.int32)
+    mask = jnp.asarray((1 - np.arange(2 * DCC_BITS - 1) % 2).astype(np.int32))
+    dcc_bad = jnp.sum(agree * mask, axis=-1)
+
     word_bits, word_bad = manchester_decode_bits(word_sym)  # (...,7,240)
     reps = word_bits.reshape(batch + (NUM_WORDS, NUM_REPEATS, WORD_CODED_BITS))
 

@@ -83,18 +83,22 @@ def main():
 
     n = 1 << 22
     # fold="bank": permutation-absorbed two-bank analyzer; io_bf16: bf16
-    # data plane with f32-accumulated matmuls — both are the validated
-    # production path (decode bit-parity: tests/test_bf16.py; the
-    # optimization record on this chip is in tools/profile_rx*.out)
+    # data plane with f32-accumulated matmuls; corr_bf16: bf16 trigger-
+    # correlation/quality plane — the validated production path (decode
+    # bit-parity: tests/test_bf16.py; the optimization record on this
+    # chip is in tools/profile_rx*.out / profile_dec*.out)
     m1024 = _throughput(MultichannelSpec(num_channels=1024,
                                          taps_per_phase=8,
-                                         fold="bank", io_bf16=True), n)
+                                         fold="bank", io_bf16=True,
+                                         corr_bf16=True), n)
     m256 = _throughput(MultichannelSpec(num_channels=256,
                                         taps_per_phase=8,
-                                        fold="bank", io_bf16=True), n)
+                                        fold="bank", io_bf16=True,
+                                        corr_bf16=True), n)
     m128 = _throughput(MultichannelSpec(num_channels=128,
                                         taps_per_phase=8,
-                                        fold="bank", io_bf16=True), n)
+                                        fold="bank", io_bf16=True,
+                                        corr_bf16=True), n)
 
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {

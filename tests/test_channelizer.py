@@ -183,3 +183,30 @@ def test_bank_fold_matches_conv_fold():
             assert bank.shape == conv.shape == (2, Mt, n // spec.hop)
             err = np.abs(conv - bank).max()
             assert err < 1e-5 * max(np.abs(conv).max(), 1.0), (Mt, err)
+
+
+def test_bank2_fold_matches_conv_fold():
+    """Single-matmul fused bank transform (derotation absorbed into the
+    (2M, 4P) matrix) == classic path, planar and interleaved input."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    for Mt, Tt in ((8, 8), (16, 4)):
+        spec = ch.ChannelizerSpec(Mt, Tt)
+        n = Mt * 64
+        x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+        xe = jnp.concatenate(
+            [jnp.zeros((spec.ntaps - spec.hop, 2), jnp.float32),
+             jnp.asarray(x)], axis=0)
+        h = ch.prototype_taps(Mt, Tt)
+        for par in (0, 1):
+            conv = np.asarray(ch._analyze_block_chmajor(
+                xe, h, Mt, Tt, par, False, 0, "conv", True))
+            bank2 = np.asarray(ch._analyze_block_chmajor(
+                xe, h, Mt, Tt, par, False, 0, "bank2", True))
+            assert bank2.shape == conv.shape == (2, Mt, n // spec.hop)
+            err = np.abs(conv - bank2).max()
+            assert err < 1e-5 * max(np.abs(conv).max(), 1.0), (Mt, err)
+            planar = np.asarray(ch._analyze_block_chmajor(
+                jnp.asarray(np.asarray(xe).T.copy()), h, Mt, Tt, par,
+                False, 0, "bank2", True, planar_in=True))
+            assert np.array_equal(planar, bank2)
