@@ -182,6 +182,19 @@ def recc_syndrome_packed(rx48):
     return _syndrome_packed(rx48, 48)
 
 
+def recc_syndrome_matrix() -> np.ndarray:
+    """(48, 12) uint8 H with syndrome = rx48 @ H mod 2 — exported so the
+    symbol-domain RECC decoder (rx/decoder.py) can compose H with the
+    Manchester complement into one symbols->syndromes matmul."""
+    return _syndrome_matrix(48)
+
+
+def recc_decode_table_packed() -> np.ndarray:
+    """(4096,) int32 packed syndrome LUT for the (48, 36) reverse code
+    (see _decode_table_packed)."""
+    return _decode_table_packed(48)
+
+
 def _encode(info, k_info: int, n_out: int):
     info = jnp.asarray(info, dtype=jnp.uint8)
     # f32 matmul: TPU has no fast int matmul; counts <= 51 are exact

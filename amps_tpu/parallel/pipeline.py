@@ -156,7 +156,9 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     phases = correlator.symbol_phase_streams(demod, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
-    hard, soft = correlator.extract_from_phases(phases, starts, sps)
+    hard, soft = correlator.extract_from_phases(
+        phases, starts, sps,
+        hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
     dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
     return {
         "starts": starts, "valid": valid, "quality": quality,
@@ -254,7 +256,9 @@ def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
             phases = correlator.symbol_phase_streams(demod, sps)
             starts, valid, quality = correlator.find_bursts_phases(
                 phases, sps, max_bursts, threshold)
-            hard, _ = correlator.extract_from_phases(phases, starts, sps)
+            hard, _ = correlator.extract_from_phases(
+                phases, starts, sps,
+                hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
             dec = decoder.decode_bursts(hard)
             # add a leading local time axis so out_specs assemble to
             # (tsize, C, K, ...) global shapes

@@ -332,11 +332,14 @@ def extract_bursts_batched(demod_p, starts, sps: int):
     return extract_from_phases(phases, starts, sps)
 
 
-@functools.partial(jax.jit, static_argnames=("sps",))
-def extract_from_phases(phases, starts, sps: int):
+@functools.partial(jax.jit, static_argnames=("sps", "hard_dtype"))
+def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8):
     """Burst capture from precomputed phase streams (..., sps, nsym)
     (see extract_bursts_batched; sharing the streams with
-    find_bursts_phases avoids recomputing the integrate-and-dump)."""
+    find_bursts_phases avoids recomputing the integrate-and-dump).
+    hard_dtype: dtype of the hard 0/1 symbols — pass jnp.bfloat16 when
+    the consumer is the symbol-domain decoder (rx/decoder.py), which
+    eats bf16 directly and skips a uint8 round-trip."""
     B = SYM_BLOCK
     nsym = phases.shape[-1]
     nb = -(-nsym // B)
@@ -369,7 +372,7 @@ def extract_from_phases(phases, starts, sps: int):
              jnp.zeros(flat.shape[:-1] + (amt,), flat.dtype)], axis=-1)
         flat = jnp.where((r[..., None] & amt) > 0, shifted, flat)
     soft = flat[..., :CAPTURE_SYMBOLS]
-    return (soft >= 0).astype(jnp.uint8), soft
+    return (soft >= 0).astype(hard_dtype), soft
 
 
 @functools.partial(jax.jit, static_argnames=("sps",))

@@ -16,6 +16,26 @@ one batched syndrome matmul and then select per policy:
 Parsing uses the BCH-corrected bits — the reference parses the *raw first
 repeat* (lib/recc_decode_impl.cc:112,117) and ignores the corrected output
 it just computed; SURVEY.md §7 marks that a bug to fix consciously.
+
+SYMBOL-DOMAIN FORMULATION (the hot-path rework, tools/profile_rx22.out:
+the bit-domain decode was 1.02 ms of the 2.6 ms 1024-channel pipeline on
+~7 MB of captures — all dtype churn, not math):
+
+* everything consumes the 0/1 symbols through ONE bfloat16 cast;
+* Manchester decode + per-repeat BCH syndromes collapse into a single
+  (480, 60) matmul per word: bit b = 1 - s[2b] (lib/utils.cc:36-53), and
+  syndromes are linear, so syn_r = (colsum(H) - s_word @ W_r) mod 2 with
+  W_r[2*(48*r + i), 12*r + j] = H[i, j];
+* the winning repeat is selected as SYMBOLS (one-hot einsum over the
+  (..., 7, 5, 96) view), and only those 96 symbols become bits;
+* Manchester bad counts are (1 - d^2) masked reductions on the adjacent
+  difference d (exact for 0/1 symbols), never strided views;
+* DCC bits ride a one-hot matmul over the full capture width (a strided
+  7-column slice is a lane-granularity gather, tools/profile_dec7.out).
+
+All arithmetic accumulates in f32 (counts <= 480: exact); outputs are
+bit-identical to the bit-domain decode (tests/test_rx.py golden decode,
+tests/test_bf16.py).
 """
 
 from __future__ import annotations
@@ -28,13 +48,16 @@ import jax
 import jax.numpy as jnp
 
 from amps_tpu.codec.bch import (apply_error_pattern, recc_bch_decode,
-                                recc_syndrome_packed)
-from amps_tpu.codec.manchester import manchester_decode_bits
+                                recc_decode_table_packed,
+                                recc_syndrome_matrix)
+from amps_tpu.codec.bits import packbits
 
 NUM_WORDS = 7
 NUM_REPEATS = 5
 WORD_CODED_BITS = 48
 DCC_BITS = 7
+WORD_SYMBOLS = 2 * NUM_REPEATS * WORD_CODED_BITS      # 480
+CAPTURE_SYMBOLS = 2 * DCC_BITS + NUM_WORDS * WORD_SYMBOLS  # 3374
 
 
 class DecodedBurst(NamedTuple):
@@ -46,66 +69,101 @@ class DecodedBurst(NamedTuple):
                              # (DCC + 7 words, lib/recc_decode_impl.cc:90-98)
 
 
+@functools.cache
+def _word_syndrome_op():
+    """(480, 60) W and (60,) c: per-word symbols -> all 5 repeats'
+    12-bit syndromes as (c - s_word @ W) mod 2 (see module docstring)."""
+    H = recc_syndrome_matrix().astype(np.float32)     # (48, 12)
+    W = np.zeros((WORD_SYMBOLS, NUM_REPEATS * 12), np.float32)
+    for r in range(NUM_REPEATS):
+        for i in range(WORD_CODED_BITS):
+            W[2 * (WORD_CODED_BITS * r + i), 12 * r: 12 * (r + 1)] = H[i]
+    c = np.tile(H.sum(axis=0), NUM_REPEATS)           # (60,)
+    return W, c
+
+
+@functools.cache
+def _bad_mask(n_sym: int) -> np.ndarray:
+    """(n_sym - 1,) f32 mask of even adjacent-pair offsets."""
+    return (1.0 - np.arange(n_sym - 1) % 2).astype(np.float32)
+
+
+def _pair_bad(sym_f, n_sym: int):
+    """Count Manchester pairs whose halves AGREE over the last axis
+    (..., n_sym): bad = sum over even offsets of 1 - (s[i] - s[i+1])^2
+    — contiguous reads only, exact for 0/1 symbols."""
+    d = sym_f[..., : n_sym - 1] - sym_f[..., 1:n_sym]
+    agree = 1.0 - d * d
+    mask = jnp.asarray(_bad_mask(n_sym)).astype(sym_f.dtype)
+    return jnp.einsum("...i,i->...", agree, mask,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("policy",))
 def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
-    """Decode (..., 3374) sliced 0/1 RECC captures."""
+    """Decode (..., 3374) sliced RECC captures.  ``symbols`` may be any
+    0/1 dtype; bfloat16 input (e.g. straight from the burst extractor's
+    one-hot capture matmul) is consumed with no cast at all."""
     s = jnp.asarray(symbols)
+    if s.dtype != jnp.bfloat16:
+        s = s.astype(jnp.bfloat16)
     batch = s.shape[:-1]
-    word_sym = s[..., 2 * DCC_BITS:].reshape(batch + (NUM_WORDS, 480))
+    sw = s[..., 2 * DCC_BITS:].reshape(batch + (NUM_WORDS, WORD_SYMBOLS))
 
-    # DCC bits via one-hot matmul over the full capture width: a
-    # stride-2 slice of 7 columns is a lane-granularity gather that
-    # measured ~0.45 ms of the 1024-ch pipeline; the matmul re-reads a
-    # plane the MXU streams at full rate (tools/profile_dec7.out,
-    # slice 1380 -> matmul 1533 Msps).  Bit value = complement of the
-    # first half-symbol, exactly manchester_decode_bits' convention.
-    sel = np.zeros((s.shape[-1], DCC_BITS), np.float32)
-    sel[np.arange(0, 2 * DCC_BITS, 2), np.arange(DCC_BITS)] = 1.0
-    picked = jnp.matmul(s.astype(jnp.bfloat16), jnp.asarray(sel, jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    dcc_bits = (1.0 - picked).astype(jnp.uint8)
-    # bad count = pairs whose halves agree, from a CONTIGUOUS
-    # adjacent-xor masked to even offsets (no strided views)
-    agree = 1 - jnp.bitwise_xor(
-        s[..., : 2 * DCC_BITS - 1], s[..., 1: 2 * DCC_BITS]).astype(jnp.int32)
-    mask = jnp.asarray((1 - np.arange(2 * DCC_BITS - 1) % 2).astype(np.int32))
-    dcc_bad = jnp.sum(agree * mask, axis=-1)
-
-    word_bits, word_bad = manchester_decode_bits(word_sym)  # (...,7,240)
-    reps = word_bits.reshape(batch + (NUM_WORDS, NUM_REPEATS, WORD_CODED_BITS))
+    # all 35 repeat syndromes in one matmul per word
+    W, c = _word_syndrome_op()
+    raw = jnp.matmul(sw, jnp.asarray(W).astype(s.dtype),
+                     preferred_element_type=jnp.float32)  # (..., 7, 60)
+    syn = jnp.mod(jnp.asarray(c) - raw, 2.0)
+    syn = syn.reshape(batch + (NUM_WORDS, NUM_REPEATS, 12)).astype(jnp.int32)
+    idx = packbits(syn, jnp.int32)                        # (..., 7, 5)
+    g = jnp.asarray(recc_decode_table_packed())[idx]      # packed LUT
 
     # Select-then-correct: rank the 5 repeats on their packed syndrome
-    # LUT values (one int32 per repeat), one-hot select the winning
-    # repeat's RAW bits + LUT value, and build the <=2-bit error pattern
-    # ONCE for the selected repeat.  Correction commutes with selection
-    # (each repeat's correction depends only on its own syndrome), so
-    # this is output-identical to correcting all 5 repeats first — but
-    # never materializes the (..., 7, 5, 36) corrected tensor and does
-    # 1/5 the iota-compare/xor work.  Invalid syndromes carry sentinel
-    # positions (255) that flip nothing, so not-ok words still pass
-    # through their raw first-repeat bits exactly as before.
-    g = recc_syndrome_packed(reps)                            # (...,7,5) i32
+    # LUT values, one-hot select the winning repeat's SYMBOLS + LUT
+    # value, and build the <=2-bit error pattern ONCE for the selected
+    # repeat.  Correction commutes with selection (each repeat's
+    # correction depends only on its own syndrome), so this is
+    # output-identical to correcting all 5 repeats first.  Invalid
+    # syndromes carry sentinel positions (255) that flip nothing, so
+    # not-ok words still pass through their raw first-repeat bits.
     ok = (g & (1 << 16)) != 0
-    first_idx = jnp.argmax(ok, axis=-1)                       # (...,7)
+    first_idx = jnp.argmax(ok, axis=-1)                   # (..., 7)
     any_ok = jnp.any(ok, axis=-1)
     onehot = (jnp.arange(NUM_REPEATS) == first_idx[..., None])
-    g_sel = jnp.sum(g * onehot, axis=-1)                      # (...,7)
-    rep_sel = jnp.sum(
-        reps * onehot[..., None].astype(reps.dtype), axis=-2) \
-        .astype(reps.dtype)                                   # (...,7,48)
-    first_words = apply_error_pattern(rep_sel, g_sel, 36)
+    g_sel = jnp.sum(g * onehot, axis=-1)                  # (..., 7)
+    swr = sw.reshape(batch + (NUM_WORDS, NUM_REPEATS, 2 * WORD_CODED_BITS))
+    rep_sym = jnp.einsum("...r,...rs->...s", onehot.astype(s.dtype), swr,
+                         preferred_element_type=jnp.float32)  # (..., 7, 96)
+    rep_bits = (1.0 - rep_sym[..., 0::2]).astype(jnp.uint8)   # (..., 7, 48)
+    first_words = apply_error_pattern(rep_bits, g_sel, 36)
 
     if policy == "first_ok":
         words, used, wok = first_words, first_idx, any_ok
     elif policy == "majority":
-        votes = jnp.sum(reps.astype(jnp.int32), axis=-2)      # (...,7,48)
+        # votes = sum over repeats of bits = 5 - sum of even symbols
+        ssum = jnp.sum(swr.astype(jnp.float32), axis=-2)  # (..., 7, 96)
+        votes = NUM_REPEATS - ssum[..., 0::2]
         maj = (votes * 2 > NUM_REPEATS).astype(jnp.uint8)
         mdec, mok = recc_bch_decode(maj)
         words = jnp.where(mok[..., None], mdec, first_words)
-        used = jnp.where(mok, jnp.int32(-1), first_idx)       # -1 = majority
+        used = jnp.where(mok, jnp.int32(-1), first_idx)   # -1 = majority
         wok = mok | any_ok
     else:
         raise ValueError(f"unknown repeat policy {policy!r}")
+
+    # DCC bits via one-hot matmul over the full capture width: a
+    # stride-2 slice of 7 columns is a lane-granularity gather that
+    # measured ~0.45 ms of the 1024-ch pipeline (tools/profile_dec7.out,
+    # slice 1380 -> matmul 1533 Msps).  Bit value = complement of the
+    # first half-symbol (lib/utils.cc:36-53).
+    sel = np.zeros((s.shape[-1], DCC_BITS), np.float32)
+    sel[np.arange(0, 2 * DCC_BITS, 2), np.arange(DCC_BITS)] = 1.0
+    picked = jnp.matmul(s, jnp.asarray(sel).astype(s.dtype),
+                        preferred_element_type=jnp.float32)
+    dcc_bits = (1.0 - picked).astype(jnp.uint8)
+    dcc_bad = _pair_bad(s[..., : 2 * DCC_BITS], 2 * DCC_BITS)
+    word_bad = _pair_bad(sw, WORD_SYMBOLS)                # (..., 7)
 
     bad = jnp.concatenate([dcc_bad[..., None], word_bad], axis=-1)
     return DecodedBurst(dcc_bits, words, wok, used, bad.astype(jnp.int32))

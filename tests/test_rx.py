@@ -225,3 +225,26 @@ def test_decode_select_then_correct_matches_correct_then_select(rng):
     assert np.array_equal(np.asarray(dec.words), want)
     assert np.array_equal(np.asarray(dec.word_ok), all_ok.any(-1))
     assert np.array_equal(np.asarray(dec.repeat_used), first)
+
+
+def test_decode_bursts_bf16_input_identical(rng):
+    """The symbol-domain decoder consumes bf16 0/1 symbols (straight
+    from the extractor's capture matmul) identically to uint8, and its
+    dcc/bad outputs match the manchester_decode_bits formulation."""
+    import jax.numpy as jnp
+    from amps_tpu.codec.manchester import manchester_decode_bits
+
+    caps = rng.integers(0, 2, (5, 2, correlator.CAPTURE_SYMBOLS)) \
+        .astype(np.uint8)
+    d_u8 = decoder.decode_bursts(caps)
+    d_bf = decoder.decode_bursts(jnp.asarray(caps).astype(jnp.bfloat16))
+    for a, b in zip(d_u8, d_bf):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    dcc_bits, dcc_bad = manchester_decode_bits(caps[..., :14])
+    word_sym = caps[..., 14:].reshape(5, 2, 7, 480)
+    _, word_bad = manchester_decode_bits(word_sym)
+    assert np.array_equal(np.asarray(d_u8.dcc_bits), np.asarray(dcc_bits))
+    want_bad = np.concatenate([np.asarray(dcc_bad)[..., None],
+                               np.asarray(word_bad)], axis=-1)
+    assert np.array_equal(np.asarray(d_u8.bad_symbols), want_bad)
