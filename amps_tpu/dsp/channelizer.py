@@ -510,13 +510,21 @@ def _synthesize_block(Y, g, M: int, T: int, hop0_parity, carry,
     total = nb_out * P                                           # Nh*P + L - P
 
     def overlap_add(uplane):
-        # uplane: (..., Nh, M); halves A = [:P], B = [P:]
+        # uplane: (..., Nh, M); halves A = [:P], B = [P:].
+        # out[b] = sum_j g_j * u[b - j, half_j]: pad u ONCE by LP-1
+        # blocks on both ends and accumulate LP shifted SLICES — the
+        # slices are views XLA fuses into one multiply-add loop, where
+        # the earlier per-term jnp.pad forms materialized LP full-size
+        # (nb_out, P) arrays (the TX synth stage's dominant cost,
+        # tools/profile_tx7.out).
+        pad = [(0, 0)] * len(batch) + [(LP - 1, LP - 1), (0, 0)]
+        upad = jnp.pad(uplane, pad)                      # (..., Nh+2LP-2, M)
         out = None
         for j in range(LP):
             gj = gm[j // 2, (j & 1) * P: (j & 1) * P + P]
-            half = uplane[..., (j & 1) * P: (j & 1) * P + P]     # (..., Nh, P)
-            pad = [(0, 0)] * len(batch) + [(j, LP - 1 - j), (0, 0)]
-            term = jnp.pad(gj * half, pad)                       # (..., nb_out, P)
+            half = upad[..., LP - 1 - j: LP - 1 - j + nb_out,
+                        (j & 1) * P: (j & 1) * P + P]    # (..., nb_out, P)
+            term = gj * half
             out = term if out is None else out + term
         return out.reshape(batch + (total,))
 
