@@ -36,12 +36,13 @@ from amps_tpu.tx.focc import FoccStream, focc_frame_bits
 
 @functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
                                              "want_demod", "bf16", "split",
-                                             "fold"))
+                                             "fold", "io_bf16", "corr_bf16"))
 def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
                      M: int, T: int, sps: int, max_bursts: int,
                      threshold: float, want_demod: bool = False,
                      bf16: bool = False, split: int = 0,
-                     fold: str = "conv"):
+                     fold: str = "conv", io_bf16: bool = False,
+                     corr_bf16: bool = False):
     """One streaming RX step with carried state.
 
     x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
@@ -70,14 +71,20 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     # capture (see correlator.find_bursts_phases); no zero pad — the
     # extractor zero-fills past the stream tail, and the completeness
     # guard below drops tail-cut bursts (re-found in the next block)
-    phases = correlator.symbol_phase_streams(demod, sps)
+    # io_bf16/corr_bf16: same bf16 data/correlation planes as the block
+    # pipeline (parallel/pipeline.py); the carried demod state and the
+    # debug tap stay f32
+    dsp = demod.astype(jnp.bfloat16) if io_bf16 else demod
+    phases = correlator.symbol_phase_streams(dsp, sps)
     starts, valid, quality = correlator.find_bursts_phases(
-        phases, sps, max_bursts, threshold)
+        phases, sps, max_bursts, threshold, out_bf16=corr_bf16)
     # only report bursts whose full capture fits this window; one cut off
     # by the block edge is re-found complete in the next block's overlap
     valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                      <= demod.shape[-1])
-    hard, _ = correlator.extract_from_phases(phases, starts, sps)
+    hard, _ = correlator.extract_from_phases(
+        phases, starts, sps,
+        hard_dtype=jnp.bfloat16 if io_bf16 else jnp.uint8)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     new_hist = x_ext[-(M * T - M // 2):]
@@ -164,7 +171,8 @@ class MultichannelReceiver:
             self.M, self.T, self.sps, self.max_bursts, self.threshold,
             want_demod=self._tap is not None,
             bf16=self.spec.transform_bf16, split=self._split,
-            fold=self.spec.fold)
+            fold=self.spec.fold, io_bf16=self.spec.io_bf16,
+            corr_bf16=self.spec.corr_bf16)
         dec = decoder.decode_bursts(hard, policy=self.policy)
         # enqueue DEVICE arrays only — no host sync here; the sync
         # happens when the entry is drained, depth-1 blocks later

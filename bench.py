@@ -72,6 +72,29 @@ def _throughput(spec, n, iters=128, use_pallas=False):
     return n * iters / dt / 1e6
 
 
+def _tx_throughput(spec, frames=3, iters=128):
+    """Full TX path (superframe bits -> FSK baseband -> synthesis
+    channelizer -> wideband), Msamples/s of produced wideband IQ."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from amps_tpu.parallel.pipeline import tx_multichannel_block
+
+    rng = np.random.default_rng(0)
+    M = spec.num_channels
+    wp = jnp.asarray(rng.integers(0, 2, (M, frames, 2, 28)).astype(np.uint8))
+    nwide = frames * 463 * 2 * spec.chan_sps * (M // 2)
+    run = jax.jit(functools.partial(tx_multichannel_block, spec=spec))
+    x = run(wp)
+    float(jnp.sum(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = run(wp)
+    float(jnp.sum(x))
+    dt = time.perf_counter() - t0
+    return nwide * iters / dt / 1e6
+
+
 def main():
     # the axon chip wedges for minutes-to-hours after any client crash;
     # patiently wait (never kill a blocked prober — that re-wedges it)
@@ -100,6 +123,9 @@ def main():
                                         fold="bank", io_bf16=True,
                                         corr_bf16=True), n)
 
+    tx1024 = _tx_throughput(MultichannelSpec(num_channels=1024,
+                                             taps_per_phase=8))
+
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {
         "metric": "IQ Msamples/s/chip (1024-ch channelize+RECC demod+decode)",
@@ -114,6 +140,7 @@ def main():
             "equivalent_realtime_30kHz_channels_1024": int(m1024 / 0.03),
             "equivalent_realtime_30kHz_channels_best": int(
                 max(m1024, m256, m128) / 0.03),
+            "throughput_tx_1024ch_msps": round(tx1024, 2),
             "device": str(jax.devices()[0]),
         },
     }
