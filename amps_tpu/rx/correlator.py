@@ -218,6 +218,11 @@ def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
     # ranking, which tolerate 8-bit mantissas.
     acc_t = jnp.bfloat16 if out_bf16 else jnp.float32
 
+    # Four thin (O, 2O) matmuls.  A fused square (4O, 4O) block GEMM
+    # with LHS = [p0 | p1 | p0^2 | p1^2] was measured and REJECTED:
+    # 2147 vs 2273 Msps @1024ch (tools/profile_rx26.out) — the LHS
+    # concat materializes an extra operand copy and the block zeros
+    # double the MACs; the thin form's operands are pure reshape views.
     def mm(a, W):   # matmul in the data dtype, f32 accumulation
         return jnp.matmul(a, jnp.asarray(W).astype(x.dtype),
                           preferred_element_type=acc_t)
