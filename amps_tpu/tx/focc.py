@@ -71,6 +71,17 @@ def _frame_gather_indices() -> np.ndarray:
 _FRAME_SRC = _frame_gather_indices()
 
 
+@functools.cache
+def _frame_onehot_mats():
+    """(101, 463) one-hot selection matrix G (frame position j takes
+    message bit _FRAME_SRC[j]) and the (463,) BI-position mask."""
+    G = np.zeros((101, 463), np.float32)
+    for j, s in enumerate(_FRAME_SRC):
+        if s >= 0:
+            G[s, j] = 1.0
+    return G, (_FRAME_SRC < 0).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("busy_idle",))
 def focc_frame_bits(word_pairs, busy_idle: int = 1):
     """Frame bits before Manchester: (..., F, 2, 28) words -> (..., F*463).
@@ -92,10 +103,19 @@ def focc_frame_bits(word_pairs, busy_idle: int = 1):
         ],
         axis=-1,
     )                                                # (..., F, 101)
-    src = jnp.asarray(np.maximum(_FRAME_SRC, 0))
-    gathered = jnp.take(msg, src, axis=-1)           # (..., F, 463)
-    is_bi = jnp.asarray(_FRAME_SRC < 0)
-    frame_bits = jnp.where(is_bi, jnp.uint8(busy_idle), gathered)
+    # static scatter as a one-hot matmul: jnp.take over the 463 frame
+    # positions is a per-element gather (serial scalar loads on TPU —
+    # the bits stage measured 0.36 ms of the 1.47 ms TX pipeline at
+    # 1024 channels, tools/profile_tx7/tx9.out); the (101, 463)
+    # selection matrix rides the MXU and the BI bits become a masked
+    # constant add.
+    G, bi = _frame_onehot_mats()
+    picked = jnp.matmul(msg.astype(jnp.bfloat16),
+                        jnp.asarray(G, jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    frame_bits = (picked
+                  + jnp.float32(busy_idle) * jnp.asarray(bi)) \
+        .astype(jnp.uint8)                           # (..., F, 463)
     return frame_bits.reshape(frame_bits.shape[:-2] + (-1,))
 
 
