@@ -114,20 +114,24 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     P = M // 2
     planar_in = x.ndim == 2 and x.shape[0] == 2 and x.shape[1] != 2
     Nh = x.shape[-1 if planar_in else 0] // P
-    # M cap: the kernel holds 4 (M, M) f32 transform matrices in VMEM
-    # (4*M^2*4 bytes); beyond M=256 that crowds the ~16 MB budget
-    pallas_ok = (use_pallas and not planar_in and M % 128 == 0
-                 and M <= 256 and Nh % 256 == 0)
+    # Fused analyze+demod kernel (pallas/rx_front_kernel.py): one VMEM
+    # pass from wideband IQ to the bf16 demod plane — the XLA path's
+    # (2, M, Nh) analysis planes never touch HBM.  tile_h=128 (the
+    # (M, tile_h) output block needs a 128-divisible lane dim); VMEM
+    # fits at M=1024 because the 4 (M, M) matrices are bf16 (8 MB).
+    pallas_ok = (use_pallas and not planar_in and M % 256 == 0
+                 and M <= 1024 and Nh % 128 == 0)
     if pallas_ok:
         from amps_tpu import pallas as plk
         pallas_ok = plk.enabled()
     if pallas_ok:
-        from amps_tpu.pallas.channelizer_kernel import analyze_chmajor_pallas
+        from amps_tpu.pallas.rx_front_kernel import analyze_demod_pallas
         x_ext = jnp.concatenate(
             [jnp.zeros((M * T - P, 2), jnp.float32),
              jnp.asarray(x, jnp.float32)], axis=0)
-        ych = analyze_chmajor_pallas(x_ext, M, T, 0, 256)  # (C, Nh, 2)
-        yr, yi = ych[..., 0], ych[..., 1]
+        demod, chan_power = analyze_demod_pallas(x_ext, M, T, tile_h=128)
+        if not spec.io_bf16:
+            demod = demod.astype(jnp.float32)
     else:
         ypl, _ = chz.analyze(x, spec.chz_spec,
                              chz.analyzer_init(spec.chz_spec,
@@ -139,15 +143,15 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         if spec.io_bf16:
             ypl = ypl.astype(jnp.bfloat16)
         yr, yi = ypl[0], ypl[1]
-    # chan_power rides the demod pass (same conjugate-product read):
-    # per-channel mean band power rejects FM "capture" ghosts — an idle
-    # channel demodulating a strong neighbor's (or numerical) leakage
-    # decodes cleanly (FM is amplitude-invariant) but at 20+ dB lower
-    # power; see runtime/streamer.BurstReport.rssi
-    demod, _, chan_power = quadrature_demod_planar(
-        yr, yi, return_power=True)                       # (C, Nh), (C,)
-    if spec.io_bf16:
-        demod = demod.astype(jnp.bfloat16)
+        # chan_power rides the demod pass (same conjugate-product read):
+        # per-channel mean band power rejects FM "capture" ghosts — an
+        # idle channel demodulating a strong neighbor's (or numerical)
+        # leakage decodes cleanly (FM is amplitude-invariant) but at
+        # 20+ dB lower power; see runtime/streamer.BurstReport.rssi
+        demod, _, chan_power = quadrature_demod_planar(
+            yr, yi, return_power=True)                   # (C, Nh), (C,)
+        if spec.io_bf16:
+            demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
     # ONE integrate-and-dump pass feeds both symbol-domain trigger
     # detection and burst capture.  No zero pad: the one-hot extractor
