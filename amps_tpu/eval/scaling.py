@@ -17,7 +17,7 @@ size; meaningful efficiency requires real chips.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import jax

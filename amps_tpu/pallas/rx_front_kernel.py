@@ -43,9 +43,6 @@ remote compile helper.
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

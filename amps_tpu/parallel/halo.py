@@ -9,7 +9,6 @@ channelizers, and burst correlators need the previous shard's tail
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -31,15 +31,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from amps_tpu.config import PipelineConfig, SystemConfig
+from amps_tpu.config import PipelineConfig
 from amps_tpu.dsp import channelizer as chz
 from amps_tpu.dsp.fm import fsk_manchester_baseband, quadrature_demod_planar
 from amps_tpu.parallel.halo import halo_exchange_left, add_tail_to_right
 from amps_tpu.rx import correlator, decoder
-from amps_tpu.tx.focc import focc_frame_bits, focc_frames_symbols
+from amps_tpu.tx.focc import focc_frame_bits
 
 
 @dataclasses.dataclass(frozen=True)

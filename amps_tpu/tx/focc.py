@@ -23,7 +23,7 @@ from __future__ import annotations
 import collections
 import functools
 import threading
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Optional
 
 import numpy as np
 import jax

@@ -24,10 +24,8 @@ def synthesize_capture(path: str, events, rx_offset=-160e3):
     the reference's front end expects the reverse channel)."""
     import jax
     from amps_tpu.config import PipelineConfig
-    from amps_tpu.dsp import iq as riq
     from amps_tpu.tx import recc_ms
     from amps_tpu.tx.modulator import fm_modulate
-    import jax.numpy as jnp
 
     pipe = PipelineConfig()
     blocks = []

@@ -1,6 +1,5 @@
 """Application smoke tests (capture replay — the recctest.grc analogue)."""
 
-import numpy as np
 
 from apps.recc_monitor import monitor, synthesize_capture
 

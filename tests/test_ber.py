@@ -1,6 +1,5 @@
 """Receiver sensitivity: detection/word-success vs SNR behaves sanely."""
 
-import numpy as np
 
 from amps_tpu.eval.ber import recc_link_curve
 

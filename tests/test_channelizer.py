@@ -1,7 +1,6 @@
 """Polyphase channelizer tests (small M so compiles stay cheap)."""
 
 import numpy as np
-import pytest
 
 from amps_tpu.dsp import channelizer as ch
 

@@ -1,7 +1,6 @@
 """DSP primitive tests: filter design, mixers, streaming equivalence."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from amps_tpu.dsp.fir import fir_filter, fir_filter_iq, freq_xlating_fir
 from amps_tpu.dsp.windows import compute_ntaps, firdes_low_pass

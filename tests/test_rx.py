@@ -2,7 +2,6 @@
 symbol streams up to the full FM loopback."""
 
 import numpy as np
-import pytest
 
 from amps_tpu import PipelineConfig
 from amps_tpu.ref import frames_ref, words_ref

@@ -1,7 +1,6 @@
 """Multi-mobile soak: every synthesized event is found, decoded, and
 correctly dispatched by the station."""
 
-import numpy as np
 
 from amps_tpu.control.station import BaseStation
 from amps_tpu.eval.traffic import random_events, synthesize_reverse_band

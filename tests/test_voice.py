@@ -1,7 +1,6 @@
 """Voice path tests: NBFM + SAT loopback through a channelizer slot."""
 
 import numpy as np
-import pytest
 
 from amps_tpu import PipelineConfig, SystemConfig
 from amps_tpu.dsp import channelizer as ch
