@@ -223,3 +223,19 @@ def test_executor_with_sdr_file_source(tmp_path):
     ex.join(timeout=300)
     rx.flush()
     assert len(rx.reports) == 1 and rx.reports[0].channel == 2
+
+
+def test_receiver_bf16_planes_same_reports():
+    """io_bf16 + corr_bf16 through the streaming receiver decode the
+    same burst bit-exactly as the f32 data plane."""
+    import dataclasses
+    words = recc_ms.page_response_words("8185551000")
+    x = _reverse_wideband({5: words}, 40000)
+    spec_bf = dataclasses.replace(SPEC, io_bf16=True, corr_bf16=True)
+    for spec in (SPEC, spec_bf):
+        rx = MultichannelReceiver(spec, threshold=0.5)
+        reports = rx.push(x)
+        assert len(reports) == 1, spec
+        assert reports[0].channel == 5
+        assert reports[0].word_ok[:2].all()
+        assert np.array_equal(reports[0].words[0], words[0])

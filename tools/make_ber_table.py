@@ -1,0 +1,43 @@
+"""Generate docs/BER.md: RECC link curve (detection + word success vs
+per-sample SNR), first_ok vs majority policy."""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+from amps_tpu.eval.ber import recc_link_curve
+
+snrs = [10.0, 6.0, 2.0, 0.0, -2.0, -4.0, -6.0, -8.0, -10.0, -12.0]
+curve = recc_link_curve(snrs, trials=256, seed=1)
+
+lines = [
+    "# RECC link quality (loopback, synthesized channel)",
+    "",
+    "Detection and word-success rates vs per-sample complex SNR for the",
+    "block-parallel receiver (correlation-peak timing, threshold 0.5,",
+    "5-repeat first_ok BCH decode; 256 noise trials/point, seed 1;",
+    "amps_tpu/eval/ber.py).  SNR(dB) = -10 log10(sigma_c^2) for a",
+    "unit-modulus FSK burst at 3 samples/symbol — the Manchester symbol",
+    "integrate-and-dump adds ~4.8 dB processing gain and the 48,36 BCH",
+    "plus 5 repeats add coding margin below that.",
+    "",
+    "The reference publishes no BER numbers (its acceptance bar is",
+    "'decodes with real phones'); this curve pins OUR receiver so",
+    "sensitivity regressions fail loudly (tests/test_ber.py guards the",
+    "shape).",
+    "",
+    "| SNR/sample (dB) | detect rate | word success |",
+    "|---|---|---|",
+]
+for s in snrs:
+    r = curve[s]
+    lines.append(f"| {s:+.0f} | {r['detect_rate']:.3f} "
+                 f"| {r['word_success_rate']:.3f} |")
+lines.append("")
+open("/root/repo/docs/BER.md", "w").write("\n".join(lines))
+print("written docs/BER.md")
+for s in snrs:
+    print(s, curve[s])
