@@ -23,8 +23,9 @@ from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx import recc_ms
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "n"))
-def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int):
+@functools.partial(jax.jit, static_argnames=("sps", "n", "policy"))
+def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
+                 policy: str = "first_ok"):
     """iq_clean (n, 2); keys (trials, 2) PRNG keys; returns per-trial
     (detected, words_ok_given_detected, word_match)."""
     trials = keys.shape[0]
@@ -42,7 +43,7 @@ def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int):
     hard, _ = jax.vmap(
         lambda d, s: correlator.extract_burst_symbols(d, s, sps)
     )(demod_p, starts)
-    dec = decoder.decode_bursts(hard[:, 0])      # (trials, 7, ...)
+    dec = decoder.decode_bursts(hard[:, 0], policy)  # (trials, 7, ...)
     nw = words_true.shape[0]
     ok = dec.word_ok[:, :nw]
     match = jnp.all(dec.words[:, :nw] == words_true[None], axis=-1)
@@ -52,7 +53,8 @@ def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int):
 
 
 def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
-                    seed: int = 0, sps: int = 3) -> Dict[float, dict]:
+                    seed: int = 0, sps: int = 3,
+                    policy: str = "first_ok") -> Dict[float, dict]:
     """Detection rate and word-error rate vs per-sample complex SNR.
 
     Signal is a unit-modulus FSK burst; SNR(dB) = -10 log10(sigma_c^2)
@@ -76,7 +78,7 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, trials)
         detected, word_good = _trial_batch(
-            iq, jnp.float32(sigma), keys, words_true, sps, n)
+            iq, jnp.float32(sigma), keys, words_true, sps, n, policy)
         detected = np.asarray(detected)
         word_good = np.asarray(word_good)
         nw = word_good.shape[1]

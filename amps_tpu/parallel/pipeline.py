@@ -95,10 +95,12 @@ def tx_multichannel_block(word_pairs, spec: MultichannelSpec):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "max_bursts", "use_pallas"))
+                   static_argnames=("spec", "max_bursts", "use_pallas",
+                                    "policy"))
 def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
                           threshold: float = 0.55,
-                          use_pallas: bool = False):
+                          use_pallas: bool = False,
+                          policy: str = "first_ok"):
     """Wideband (N, 2) — or planar (2, N) planes — -> per-channel
     decoded RECC bursts.  Planar input (fold="bank" only) skips the
     on-device interleaved->planar transpose; SDR adapters can deliver
@@ -163,7 +165,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     hard, soft = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-    dec = decoder.decode_bursts(hard)                    # batched (C, K, ...)
+    dec = decoder.decode_bursts(hard, policy)            # batched (C, K, ...)
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,

@@ -111,7 +111,7 @@ class MultichannelReceiver:
     def __init__(self, spec: MultichannelSpec,
                  on_burst: Optional[Callable[[BurstReport], None]] = None,
                  max_bursts: int = 4, threshold: float = 0.55,
-                 policy: str = "first_ok",
+                 policy: str = "majority",
                  tap_demod_path: Optional[str] = None,
                  pipeline_depth: int = 1,
                  min_rssi: float = 0.0):
@@ -126,6 +126,12 @@ class MultichannelReceiver:
         burst reports of earlier blocks (double buffering); call
         ``flush()`` to drain the tail.  Burst callbacks are then
         delayed by up to K blocks.
+
+        ``policy``: 5-repeat word combining — "majority" (default;
+        bit-wise majority vote before BCH, the spec-recommended
+        combining: +0.28 word-success at +2 dB/sample SNR, docs/BER.md)
+        or "first_ok" (reference-exact sequential fallback,
+        lib/recc_decode_impl.cc:100-107).
 
         ``min_rssi``: drop reports whose mean channel band power is
         below this level.  FM is amplitude-invariant, so an idle

@@ -47,8 +47,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from amps_tpu.codec.bch import (apply_error_pattern, recc_bch_decode,
-                                recc_decode_table_packed,
+from amps_tpu.codec.bch import (apply_error_pattern, packed_lut_lookup,
+                                recc_bch_decode, recc_decode_table_packed,
                                 recc_syndrome_matrix)
 from amps_tpu.codec.bits import packbits
 
@@ -117,20 +117,10 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
     syn = jnp.mod(jnp.asarray(c) - raw, 2.0)
     syn = syn.reshape(batch + (NUM_WORDS, NUM_REPEATS, 12)).astype(jnp.int32)
     idx = packbits(syn, jnp.int32)                        # (..., 7, 5)
-    # Packed-LUT lookup as a 16^3-factored one-hot contraction: a plain
-    # (4096,)[idx] gather is ~72k serial scalar loads on the TPU —
-    # measured 0.52 ms of the 1024-channel pipeline vs 0.08 ms for the
-    # three nibble contractions (tools/profile_dec9.out).  f32 is exact
-    # for the packed values (< 2^17 < 2^24).
-    T3 = jnp.asarray(recc_decode_table_packed().astype(np.float32)
-                     .reshape(16, 16, 16))
-    i16 = jnp.arange(16, dtype=jnp.int32)
-    oh_a = ((idx // 256)[..., None] == i16).astype(jnp.float32)
-    oh_b = ((idx // 16 % 16)[..., None] == i16).astype(jnp.float32)
-    oh_c = ((idx % 16)[..., None] == i16).astype(jnp.float32)
-    gf = jnp.einsum("...ab,...b->...a",
-                    jnp.einsum("abc,...c->...ab", T3, oh_c), oh_b)
-    g = jnp.einsum("...a,...a->...", oh_a, gf).astype(jnp.int32)
+    # gather-free packed-LUT lookup (codec/bch.py:packed_lut_lookup —
+    # a plain (4096,)[idx] gather measured 0.52 ms of the 1024-channel
+    # pipeline, tools/profile_dec9.out)
+    g = packed_lut_lookup(idx, recc_decode_table_packed())
 
     # Select-then-correct: rank the 5 repeats on their packed syndrome
     # LUT values, one-hot select the winning repeat's SYMBOLS + LUT
