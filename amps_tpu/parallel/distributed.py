@@ -6,9 +6,11 @@ capability (SURVEY.md §2 parallelism table).  Topology: a global
 neighbor halos inside a slice, DCN carries the host-boundary halos and
 the control plane (the TCP command server runs on process 0 only).
 
-Cannot be exercised on this single-host environment; the sharded step it
-feeds is validated on the virtual CPU mesh (tests/test_parallel.py) and
-via __graft_entry__.dryrun_multichip.
+Validated three ways on this single-host environment: the sharded step
+on the virtual 8-device CPU mesh (tests/test_parallel.py), the driver's
+__graft_entry__.dryrun_multichip, and a REAL 2-process
+jax.distributed run whose halo-exchange/psum collectives cross the
+process boundary (tests/test_distributed.py — the DCN analogue).
 """
 
 from __future__ import annotations
