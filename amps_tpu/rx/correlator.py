@@ -35,6 +35,23 @@ TRIGGER_BITS = np.concatenate(
 )  # 26 dotting + 11 word-sync bits (lib/recc_impl.cc:76)
 TRIGGER_SYMBOLS = 2 * len(TRIGGER_BITS)  # 74 Manchester symbols
 CAPTURE_SYMBOLS = 3374                   # DCC(7)+7x240 bits, x2 (recc_impl.cc:70)
+# Per-burst DC estimate window: DCC (14 symbols) + word 1 (480 symbols).
+# Every valid RECC burst carries at least DCC + one word, and Manchester
+# encoding makes the window exactly DC-free, so its mean is an unbiased
+# estimate of the discriminator's DC bias (carrier frequency offset: the
+# AMPS mobile tolerance of +-2.5 ppm at 835 MHz is +-2.1 kHz, which the
+# FM discriminator turns into a DC shift of ~26% of symbol amplitude —
+# enough to break slicing at 0; the reference's binary_slicer_fb has the
+# same defect, tools/cfo_sweep.py measures the cliff at 2 kHz).
+DC_EST_SYMBOLS = 2 * 7 + 2 * 5 * 48      # 494
+
+
+def _dc_slice(soft):
+    """Hard 0/1 symbols from soft captures (..., K, CAPTURE_SYMBOLS),
+    sliced against the per-burst DC estimate instead of 0."""
+    dc = jnp.mean(soft[..., :DC_EST_SYMBOLS].astype(jnp.float32),
+                  axis=-1, keepdims=True)
+    return soft >= dc.astype(soft.dtype)
 
 
 @functools.cache
@@ -377,7 +394,7 @@ def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8):
              jnp.zeros(flat.shape[:-1] + (amt,), flat.dtype)], axis=-1)
         flat = jnp.where((r[..., None] & amt) > 0, shifted, flat)
     soft = flat[..., :CAPTURE_SYMBOLS]
-    return (soft >= 0).astype(hard_dtype), soft
+    return _dc_slice(soft).astype(hard_dtype), soft
 
 
 @functools.partial(jax.jit, static_argnames=("sps",))
@@ -405,7 +422,7 @@ def extract_burst_symbols(demod, starts, sps: int):
         return seg[0]
 
     soft = jax.vmap(one)(starts)
-    hard = (soft >= 0).astype(jnp.uint8)
+    hard = _dc_slice(soft).astype(jnp.uint8)
     return hard, soft
 
 

@@ -130,6 +130,34 @@ def test_loopback_with_noise_and_majority(rng):
         assert np.array_equal(got[1], words[1]), policy
 
 
+def test_loopback_with_cfo(rng):
+    """Carrier frequency offset at the AMPS mobile tolerance limit
+    (+-2.5 ppm at 835 MHz ~ +-2.1 kHz) plus noise: the FM discriminator
+    turns CFO into a DC bias (~26% of symbol amplitude at 2 kHz) that
+    breaks slicing at 0; the per-burst DC estimate from the Manchester-
+    balanced capture head (correlator.DC_EST_SYMBOLS) restores decode
+    out to +-4 kHz (tools/cfo_sweep.out)."""
+    words = recc_ms.page_response_words("2135551212")
+    stream = _burst_in_stream(words, PIPE.sps, lead=800, tail=3000)
+    iq, _ = fm_modulate(stream, PIPE)
+    iq = np.asarray(iq)
+    for cfo_hz in (2500.0, -2500.0):
+        ph = 2 * np.pi * cfo_hz * np.arange(iq.shape[0]) / PIPE.tx_rate
+        c, s = np.cos(ph).astype(np.float32), np.sin(ph).astype(np.float32)
+        rot = np.stack([iq[:, 0] * c - iq[:, 1] * s,
+                        iq[:, 0] * s + iq[:, 1] * c], axis=-1)
+        rot += rng.normal(0, 0.05, rot.shape).astype(np.float32)
+        demod, _ = rx_frontend(rot, PIPE, center_freq=0.0)
+        starts, valid, q, hard, soft = correlator.find_and_extract(
+            np.asarray(demod), 10, max_bursts=2, threshold=0.5)
+        assert np.asarray(valid)[0], cfo_hz
+        dec = decoder.decode_bursts(np.asarray(hard)[0])
+        assert np.asarray(dec.word_ok)[:2].all(), cfo_hz
+        got = np.asarray(dec.words)
+        assert np.array_equal(got[0], words[0]), cfo_hz
+        assert np.array_equal(got[1], words[1]), cfo_hz
+
+
 def test_decoder_repeat_fallback(rng):
     """Corrupt the first repeats badly: decoder falls back to a later
     repeat (lib/recc_decode_impl.cc:100-107 semantics)."""
