@@ -73,3 +73,71 @@ def load_transmitter(path: str, tx) -> None:
             st._queue.clear()
             for pair in z[f"queue_{k}"]:
                 st._queue.append(pair.copy())
+
+
+_SUP_STATES = ("idle", "alerting", "conversation", "released")
+
+
+def save_station(path: str, bs) -> None:
+    """BaseStation -> .npz: FOCC word queue, FVC burst/timer/offset,
+    mutes, and per-voice-channel supervision timers.  Together with
+    save_receiver/save_transmitter this checkpoints the whole
+    base station; a loaded station continues the exact symbol streams
+    and supervision timeline (tests/test_state.py).  The event log is
+    history, not operational state, and is not persisted."""
+    payload: Dict[str, np.ndarray] = {
+        "kind": np.asarray("station"),
+        "fvc_mute": np.int64(bs.fvc_mute),
+        "audio_mute": np.int64(bs.audio_mute),
+    }
+    with bs.focc._lock:
+        q = list(bs.focc._queue)
+    payload["focc_queue"] = (np.stack(q).astype(np.uint8) if q
+                             else np.zeros((0, 2, 28), np.uint8))
+    with bs.fvc._lock:
+        burst = bs.fvc._burst
+        payload["fvc_burst"] = (np.asarray(burst, np.int8) if burst is not None
+                                else np.zeros(0, np.int8))
+        payload["fvc_has_burst"] = np.int64(burst is not None)
+        payload["fvc_timer"] = np.int64(bs.fvc._timer)
+        payload["fvc_off"] = np.int64(bs.fvc._off)
+    chans = sorted(bs.supervisors)
+    payload["sup_channels"] = np.asarray(chans, np.int64)
+    for c in chans:
+        s = bs.supervisors[c]
+        payload[f"sup_{c}"] = np.asarray(
+            [_SUP_STATES.index(s.state), s.t, s._sat_loss_t, s._st_run_t,
+             s._alert_t, float(s._st_seen_in_alert)], np.float64)
+    np.savez(path, **payload)
+
+
+def load_station(path: str, bs) -> None:
+    """Restore into a freshly constructed BaseStation (same configs)."""
+    from amps_tpu.control.supervision import ChannelSupervisor
+
+    z = np.load(path, allow_pickle=False)
+    assert str(z["kind"]) == "station"
+    bs.fvc_mute = bool(z["fvc_mute"])
+    bs.audio_mute = bool(z["audio_mute"])
+    with bs.focc._lock:
+        bs.focc._queue.clear()
+        for pair in z["focc_queue"]:
+            bs.focc._queue.append(pair.copy())
+    with bs.fvc._lock:
+        bs.fvc._burst = (z["fvc_burst"].copy() if bool(z["fvc_has_burst"])
+                         else None)
+        bs.fvc._timer = int(z["fvc_timer"])
+        bs.fvc._off = int(z["fvc_off"])
+    bs.supervisors.clear()
+    for c in z["sup_channels"]:
+        c = int(c)
+        st_i, t, loss, st_run, alert, seen = z[f"sup_{c}"]
+        sup = ChannelSupervisor(c, bs.system.scc, bs.supervision_config,
+                                on_event=bs._on_supervision_event,
+                                state=_SUP_STATES[int(st_i)])
+        sup.t = float(t)
+        sup._sat_loss_t = float(loss)
+        sup._st_run_t = float(st_run)
+        sup._alert_t = float(alert)
+        sup._st_seen_in_alert = bool(seen)
+        bs.supervisors[c] = sup

@@ -66,3 +66,75 @@ def test_transmitter_checkpoint_resume(tmp_path):
     a = np.asarray(tx_a.next_block())
     b = np.asarray(tx_b.next_block())
     assert np.array_equal(a, b)
+
+
+def test_station_checkpoint_resume(tmp_path):
+    """A resumed BaseStation continues the exact FOCC/FVC symbol streams
+    and the supervision timeline of an uninterrupted one."""
+    from amps_tpu.control.station import BaseStation
+    from amps_tpu.runtime.state import load_station, save_station
+
+    def make_burst():
+        words = recc_ms.page_response_words("5551234567")
+        arr = np.zeros((7, 36), np.uint8)
+        ok = np.zeros(7, bool)
+        for i, w in enumerate(words):
+            arr[i] = w
+            ok[i] = True
+        return arr, ok
+
+    def ring_frames(n):  # SAT (scc=1) + ST present: mobile ringing
+        lv = np.zeros((n, 4), np.float32)
+        lv[:, 1] = 0.05
+        lv[:, 3] = 0.05
+        return lv, np.full(n, 1e-3, np.float32)
+
+    def drive_to_checkpoint(bs):
+        arr, ok = make_burst()
+        bs.handle_burst(arr, ok)                 # page response -> alert
+        bs.handle_command("page 2135551212")     # second FOCC queue entry
+        part = bs.fvc.next_block(4000)           # mid-burst offset
+        lv, pw = ring_frames(50)                 # 0.5 s of ringing
+        bs.push_supervision(355, lv, pw)
+        return part
+
+    bs_full = BaseStation()
+    part_full = drive_to_checkpoint(bs_full)
+
+    bs_a = BaseStation()
+    part_a = drive_to_checkpoint(bs_a)
+    assert np.array_equal(part_a, part_full)
+    ckpt = str(tmp_path / "station.npz")
+    save_station(ckpt, bs_a)
+    bs_b = BaseStation()
+    load_station(ckpt, bs_b)
+    assert (bs_b.fvc_mute, bs_b.audio_mute) == \
+        (bs_full.fvc_mute, bs_full.audio_mute)
+
+    # continued FOCC superframes pop the same queued pairs
+    for _ in range(3):
+        a = np.asarray(bs_full.focc.next_superframe_symbols())
+        b = np.asarray(bs_b.focc.next_superframe_symbols())
+        assert np.array_equal(a, b)
+
+    # continued FVC stream (offset + repeat timer) is bit-identical
+    assert np.array_equal(bs_full.fvc.next_block(6000),
+                          bs_b.fvc.next_block(6000))
+    assert bs_full.fvc._timer == bs_b.fvc._timer
+    assert bs_full.fvc._off == bs_b.fvc._off
+
+    # supervision resumes mid-alert: ST drop -> answer at the same time
+    lv, pw = ring_frames(10)
+    lv[:, 3] = 0.0                              # ST drops: answered
+    for bs in (bs_full, bs_b):
+        bs.push_supervision(355, lv, pw)
+    ans_full = [e for e in bs_full.supervisors[355].events
+                if e.kind == "answer"]
+    ans_b = [e for e in bs_b.supervisors[355].events if e.kind == "answer"]
+    assert len(ans_full) == len(ans_b) == 1
+    assert abs(ans_full[0].t - ans_b[0].t) < 1e-9
+    assert bs_full.supervisors[355].state == bs_b.supervisors[355].state \
+        == "conversation"
+    # the answer flipped both stations' mutes identically (fvc off)
+    assert (bs_full.fvc_mute, bs_full.audio_mute) == \
+        (bs_b.fvc_mute, bs_b.audio_mute) == (True, False)
