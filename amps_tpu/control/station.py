@@ -115,6 +115,10 @@ class BaseStation:
         """
         words = np.asarray(words)
         ok = np.asarray(word_ok)
+        # a seizure happened: mark the RECC busy for one superframe so
+        # other mobiles defer while this response is pending (553 §3.1.1;
+        # FoccStream.mark_busy documents the granularity)
+        self.focc.mark_busy(1)
         if not ok[0]:
             self._debug("got a burst with an invalid Word A")
             return

@@ -92,8 +92,10 @@ def save_station(path: str, bs) -> None:
     }
     with bs.focc._lock:
         q = list(bs.focc._queue)
+        busy = bs.focc._busy_superframes
     payload["focc_queue"] = (np.stack(q).astype(np.uint8) if q
                              else np.zeros((0, 2, 28), np.uint8))
+    payload["focc_busy"] = np.int64(busy)
     with bs.fvc._lock:
         burst = bs.fvc._burst
         payload["fvc_burst"] = (np.asarray(burst, np.int8) if burst is not None
@@ -123,6 +125,8 @@ def load_station(path: str, bs) -> None:
         bs.focc._queue.clear()
         for pair in z["focc_queue"]:
             bs.focc._queue.append(pair.copy())
+        bs.focc._busy_superframes = int(z["focc_busy"]) \
+            if "focc_busy" in z else 0
     with bs.fvc._lock:
         bs.fvc._burst = (z["fvc_burst"].copy() if bool(z["fvc_has_burst"])
                          else None)

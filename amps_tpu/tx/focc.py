@@ -14,8 +14,10 @@ superframe granularity in FoccStream: queued message frames replace filler
 slots in the next (18, 2, 28) word array.  Same worst-case latency (one
 superframe, ~0.83 s) as the reference's slot-by-slot pop.
 
-The busy/idle bit is constant 1, as in the reference (set once at
-lib/focc_impl.cc:111, never toggled; README.md:54).
+The busy/idle bit defaults to 1 (idle).  Unlike the reference (whose
+``busy_idle_bit`` is set once at lib/focc_impl.cc:111 and never toggled;
+README.md:54 calls it vestigial), ``FoccStream.mark_busy`` implements
+553 §3.1.1 RECC-busy signaling at superframe granularity.
 """
 
 from __future__ import annotations
@@ -215,6 +217,7 @@ class FoccStream:
             if np.array_equal(self._template[i, 0], W.CONTROL_FILLER)
         ]
         self._queue: collections.deque = collections.deque()
+        self._busy_superframes = 0
         self._lock = threading.Lock()
         self._debug = open(debug_sink, "ab") if debug_sink else None
         self._debug_left = debug_limit
@@ -257,9 +260,30 @@ class FoccStream:
                 out[slot] = self._queue.popleft()
         return out
 
+    def mark_busy(self, superframes: int = 1) -> None:
+        """Stream busy/idle = BUSY for the next N superframes.
+
+        553 §3.1.1 has the land station mark the RECC busy while a
+        mobile seizes it, so other mobiles defer; the reference never
+        implements it (``volatile bool busy_idle_bit`` at
+        lib/amps_common.h:7 is set once at lib/focc_impl.cc:111 and its
+        own README calls it vestigial).  Block synthesis bounds our
+        granularity to one superframe (~0.83 s) — coarse vs the spec's
+        per-bit flip, but enough for its purpose of suppressing RECC
+        collisions while a response is pending (BaseStation.handle_burst
+        marks one superframe busy per detected seizure)."""
+        with self._lock:
+            self._busy_superframes = max(self._busy_superframes,
+                                         int(superframes))
+
     def next_superframe_symbols(self) -> jax.Array:
         """±1 symbol samples for the next superframe (device array)."""
-        syms = focc_frames_symbols(self.next_word_pairs(), self.sps)
+        with self._lock:
+            busy = self._busy_superframes > 0
+            if busy:
+                self._busy_superframes -= 1
+        syms = focc_frames_symbols(self.next_word_pairs(), self.sps,
+                                   busy_idle=0 if busy else 1)
         if self._debug is not None and self._debug_left > 0:
             chunk = np.asarray(syms, np.int8)[: self._debug_left]
             self._debug.write(chunk.tobytes())

@@ -127,3 +127,44 @@ def test_focc_stream_debug_sink(tmp_path):
     assert np.array_equal(got, a[:2000])
     st.next_superframe_symbols()  # over the cap: nothing more written
     assert sink.stat().st_size == 2000
+
+
+def test_focc_busy_idle_signaling():
+    """mark_busy(1): the next superframe's B/I bits all read busy (0),
+    message bits unchanged; the following superframe is idle (1) again
+    (553 §3.1.1 at superframe granularity — the reference's
+    busy_idle_bit is vestigial, lib/amps_common.h:7)."""
+    from amps_tpu.codec.manchester import manchester_decode_bits
+
+    st = tx_focc.FoccStream(sps=1)
+    st.mark_busy(1)
+    bi_pos = np.asarray(tx_focc._FRAME_SRC) < 0          # (463,) mask
+
+    def frames_of(syms):
+        hard = (np.asarray(syms) > 0).astype(np.uint8)
+        bits, bad = manchester_decode_bits(hard.reshape(-1, 463 * 2))
+        assert int(np.asarray(bad).sum()) == 0
+        return np.asarray(bits)                          # (18, 463)
+
+    busy = frames_of(st.next_superframe_symbols())
+    idle = frames_of(st.next_superframe_symbols())
+    assert (busy[:, bi_pos] == 0).all()
+    assert (idle[:, bi_pos] == 1).all()
+    # message positions are untouched by the B/I flip
+    assert np.array_equal(busy[:, ~bi_pos], idle[:, ~bi_pos])
+
+
+def test_station_marks_busy_on_seizure():
+    from amps_tpu.control.station import BaseStation
+    from amps_tpu.tx import recc_ms
+
+    bs = BaseStation()
+    words = recc_ms.page_response_words("5551234567")
+    arr = np.zeros((7, 36), np.uint8)
+    ok = np.zeros(7, bool)
+    for i, w in enumerate(words):
+        arr[i] = w
+        ok[i] = True
+    assert bs.focc._busy_superframes == 0
+    bs.handle_burst(arr, ok)
+    assert bs.focc._busy_superframes == 1
