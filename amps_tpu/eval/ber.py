@@ -23,18 +23,9 @@ from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx import recc_ms
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "n", "policy"))
-def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
-                 policy: str = "first_ok"):
-    """iq_clean (n, 2); keys (trials, 2) PRNG keys; returns per-trial
-    (detected, words_ok_given_detected, word_match)."""
-    trials = keys.shape[0]
-
-    def one(key):
-        noise = noise_sigma * jax.random.normal(key, (n, 2))
-        return iq_clean + noise
-
-    iq = jax.vmap(one)(keys)                     # (trials, n, 2)
+def _rx_trials(iq, words_true, sps: int, policy: str):
+    """Shared RX tail: (trials, n, 2) impaired IQ -> (detected, word_good)."""
+    trials, n = iq.shape[0], iq.shape[1]
     demod, _ = quadrature_demod(iq)              # (trials, n)
     starts, valid, q = correlator.find_bursts(demod, sps, 1, 0.5)
     padlen = correlator.CAPTURE_SYMBOLS * sps
@@ -50,6 +41,29 @@ def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
     detected = valid[:, 0]
     word_good = ok & match & detected[:, None]
     return detected, word_good
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "n", "policy"))
+def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
+                 policy: str = "first_ok"):
+    """iq_clean (n, 2); keys (trials, 2) PRNG keys; returns per-trial
+    (detected, word_good)."""
+
+    def one(key):
+        noise = noise_sigma * jax.random.normal(key, (n, 2))
+        return iq_clean + noise
+
+    iq = jax.vmap(one)(keys)                     # (trials, n, 2)
+    return _rx_trials(iq, words_true, sps, policy)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "n", "policy"))
+def _trial_batch_iq(iq, noise_sigma, key, words_true, sps: int, n: int,
+                    policy: str = "first_ok"):
+    """Per-trial pre-impaired IQ (trials, n, 2) (e.g. faded) + AWGN."""
+    trials = iq.shape[0]
+    iq = iq + noise_sigma * jax.random.normal(key, (trials, n, 2))
+    return _rx_trials(iq, words_true, sps, policy)
 
 
 def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
@@ -87,5 +101,53 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
             "word_success_rate": float(word_good.mean()),
             "trials": trials,
             "words_per_burst": nw,
+        }
+    return out
+
+
+def recc_fading_curve(snr_dbs: Sequence[float], doppler_hz: float = 77.0,
+                      trials: int = 64, seed: int = 0, sps: int = 3,
+                      policy: str = "majority") -> Dict[float, dict]:
+    """Detection / word-success vs average SNR under Rayleigh flat
+    fading (eval/channel.py, unit mean power) at the given Doppler.
+
+    77 Hz ~ 100 km/h at 835 MHz: a 169 ms RECC burst then spans ~13
+    fade cycles, so the 5 repeats of each word see independent fades —
+    the regime where majority combining pays (docs/BER.md).
+    """
+    from amps_tpu.eval import channel
+
+    pipe = PipelineConfig()
+    words = recc_ms.page_response_words("5551234567")
+    words_true = jnp.asarray(np.stack(words))
+    syms = recc_ms.burst_symbols(words, dcc=0, sps=sps)
+    lead = np.tile(np.array([1, -1], np.int8), 300)
+    stream = np.concatenate([lead, syms, lead]).astype(np.int8)
+    sens = 2.0 * np.pi * pipe.deviation_hz / (sps * pipe.baud)
+    iq, _ = fm_modulate_symbols(stream, sens)
+    iq = np.asarray(iq)
+    n = iq.shape[0]
+    fs = float(sps * pipe.baud)
+
+    rng = np.random.default_rng(seed)
+    faded = np.stack([
+        channel.apply_gain(iq, channel.rayleigh_gain(n, fs, doppler_hz, rng))
+        for _ in range(trials)])
+    faded = jnp.asarray(faded)
+
+    out = {}
+    key = jax.random.PRNGKey(seed)
+    for snr in snr_dbs:
+        sigma = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)
+        key, sub = jax.random.split(key)
+        detected, word_good = _trial_batch_iq(
+            faded, jnp.float32(sigma), sub, words_true, sps, n, policy)
+        detected = np.asarray(detected)
+        word_good = np.asarray(word_good)
+        out[float(snr)] = {
+            "detect_rate": float(detected.mean()),
+            "word_success_rate": float(word_good.mean()),
+            "trials": trials,
+            "doppler_hz": doppler_hz,
         }
     return out
