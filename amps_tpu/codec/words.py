@@ -69,6 +69,28 @@ def focc_word2_voice_channel(scc, min2, vmac, chan):
     )
 
 
+def fvc_word1_voice_channel(scc, pscc, vmac, chan):
+    """FVC Word 1, VMAC/CHAN handoff designation (extension: the
+    reference has no handoff — its calls never move or end).
+
+    Mirrors the reference's two established conventions: SCC==11 marks
+    the order variant (fvc_word1_general's constant header,
+    lib/amps_packet.cc:55), so SCC!=11 here carries a channel
+    designation with the new channel's SAT color code; the VMAC/CHAN
+    tail follows focc_word2_voice_channel (lib/amps_packet.cc:82) with
+    the MIN2 address replaced by PSCC + reserved bits (FVC messages are
+    implicitly addressed by the channel that carries them).
+    """
+    return _bcast(
+        _const(1, 0),                       # T1T2
+        _bits(scc, 2),                      # new channel's SAT (must != 3)
+        _bits(pscc, 2),                     # present SAT color code
+        _const(0, 0, 0, 0, 0, 0, 0, 0),     # RSVD
+        _bits(vmac, 3),
+        _bits(chan, 11),
+    )
+
+
 def fvc_word1_general(pscc, msg_type, ordq, order):
     """FVC Word 1 (order variant), lib/amps_packet.cc:55."""
     return _bcast(

@@ -150,3 +150,24 @@ def calc_min(min1: int, min2: int) -> str:
         thous = 0
     return (_inv_min3(min2) + _inv_min3((min1 >> 14) & 0x3FF)
             + chr(0x30 + thous) + _inv_min3(min1 & 0x3FF))
+
+
+@dataclasses.dataclass(frozen=True)
+class FvcVoiceChannel:
+    """FVC Word 1 VMAC/CHAN handoff designation (the extension word
+    built by codec.words.fvc_word1_voice_channel; SCC != 3 distinguishes
+    it from the order variant's constant SCC=11 header)."""
+
+    SCC: int
+    PSCC: int
+    VMAC: int
+    CHAN: int
+
+    @classmethod
+    def parse(cls, bits):
+        return cls(SCC=_val(bits, 2, 2), PSCC=_val(bits, 4, 2),
+                   VMAC=_val(bits, 14, 3), CHAN=_val(bits, 17, 11))
+
+    @property
+    def is_order(self) -> bool:
+        return self.SCC == 3

@@ -49,7 +49,12 @@ class CommandServer:
         self._writers.add(writer)
         try:
             while True:
-                data = await reader.read(10000)  # reference MTU
+                # a client dropping mid-read (reset, not FIN) is a normal
+                # disconnect, not an error to leak to the event loop
+                try:
+                    data = await reader.read(10000)  # reference MTU
+                except (ConnectionResetError, BrokenPipeError, OSError):
+                    break
                 if not data:
                     break
                 for line in data.decode(errors="replace").splitlines():

@@ -244,6 +244,33 @@ class BaseStation:
         if sup is not None:
             sup.push_frames(levels, power)
 
+    def handoff(self, old_chan: int, new_chan: int, vmac: int = 0) -> bool:
+        """Intra-station handoff: move the active call on ``old_chan``
+        to ``new_chan`` (extension — the reference cannot move or even
+        end calls).
+
+        Sends the VMAC/CHAN voice-channel designation on the old
+        channel's FVC (blank-and-burst, reusing the alert timer so the
+        burst self-terminates); per 553 §2.4.8 the mobile confirms with
+        a 50 ms ST burst, retunes, and transponds SAT on the new
+        channel, where supervision resumes in the same call state (the
+        5 s fade timeout comfortably covers the retune gap).
+        """
+        sup = self.supervisors.pop(old_chan, None)
+        if sup is None or sup.state not in (ALERTING, CONVERSATION):
+            if sup is not None:
+                self.supervisors[old_chan] = sup
+            self._debug(f"handoff: no active call on channel {old_chan}\n")
+            return False
+        word = W.fvc_word1_voice_channel(self.system.scc, self.system.scc,
+                                         vmac, new_chan)
+        self._set_fvc(word, timer=self.system.fvc_alert_repeats)
+        self._set_mutes(fvc_mute=False, audio_mute=True)
+        self._start_supervision(new_chan, sup.state)
+        self._emit("handoff", (old_chan, new_chan))
+        self._debug(f"handoff: channel {old_chan} -> {new_chan}\n")
+        return True
+
     def release_call(self, chan: int, reason: str = "") -> None:
         """Send the FVC release order and tear the channel down."""
         sup = self.supervisors.pop(chan, None)
@@ -270,6 +297,13 @@ class BaseStation:
             self._set_fvc(alert, timer=0)
         elif cmd.lower().startswith("page "):
             self._handle_page(cmd[5:].strip())
+        elif cmd.lower().startswith("handoff "):
+            # extension command: 'handoff <old_chan> <new_chan>'
+            parts = cmd.split()
+            if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
+                self.handoff(int(parts[1]), int(parts[2]))
+            else:
+                self._debug("usage: handoff <old_chan> <new_chan>\n")
         else:
             self._debug("invalid command\n")
 

@@ -195,3 +195,57 @@ def test_tcp_command_server(port):
         assert len([e for e in st.events if e.kind == "focc_words"]) == 1
 
     asyncio.run(run())
+
+
+def test_handoff_moves_call():
+    """Intra-station handoff (extension): the designation word rides the
+    old channel's FVC, supervision resumes on the new channel in the
+    same call state, and the retune SAT gap does not drop the call."""
+    from amps_tpu.control.fields import FvcVoiceChannel
+    from amps_tpu.control.station import BaseStation
+    from amps_tpu.tx import recc_ms
+
+    bs = BaseStation()
+    words = recc_ms.page_response_words("5551234567")
+    arr = np.zeros((7, 36), np.uint8)
+    ok = np.zeros(7, bool)
+    for i, w in enumerate(words):
+        arr[i] = w
+        ok[i] = True
+    bs.handle_burst(arr, ok)                   # alerting on 355
+    ring = np.zeros((30, 4), np.float32)
+    ring[:, 1] = 0.05                          # SAT (SCC=1)
+    ring[:, 3] = 0.05                          # ST: ringing
+    pw = np.full(30, 1e-3, np.float32)
+    bs.push_supervision(355, ring, pw)
+    answered = ring.copy()
+    answered[:, 3] = 0.0                       # ST drops: answered
+    bs.push_supervision(355, answered, pw)
+    assert bs.supervisors[355].state == "conversation"
+
+    assert bs.handoff(355, 356)
+    assert 355 not in bs.supervisors
+    assert bs.supervisors[356].state == "conversation"
+    ho = [e for e in bs.events if e.kind == "handoff"]
+    assert ho and ho[-1].payload == (355, 356)
+    w28, timer = [e.payload for e in bs.events if e.kind == "fvc_words"][-1]
+    p = FvcVoiceChannel.parse(np.asarray(w28))
+    assert not p.is_order
+    assert (p.SCC, p.PSCC, p.CHAN) == (bs.system.scc, bs.system.scc, 356)
+    assert timer == bs.system.fvc_alert_repeats
+    assert (bs.fvc_mute, bs.audio_mute) == (False, True)  # burst on old ch
+
+    # mobile retune gap (0.3 s no carrier) then SAT back: call holds
+    gap = np.zeros((30, 4), np.float32)
+    bs.push_supervision(356, gap, np.zeros(30, np.float32))
+    sat = np.zeros((30, 4), np.float32)
+    sat[:, 1] = 0.05
+    bs.push_supervision(356, sat, pw)
+    assert bs.supervisors[356].state == "conversation"
+
+    # no active call on 355 anymore: refused
+    assert not bs.handoff(355, 357)
+    # operator-command surface
+    bs.handle_command("handoff 356 355")
+    assert 356 not in bs.supervisors and bs.supervisors[355].state == \
+        "conversation"
