@@ -1,0 +1,182 @@
+"""SimMobile: a simulated AMPS mobile station for closed-loop tests.
+
+The counterpart the reference never had (its acceptance bar was real
+phones).  Wire it to a BaseStation and the framework exercises the FULL
+call lifecycle in software: page -> page response -> voice assignment ->
+alert (ringing) -> answer -> handoff -> release — with every message
+crossing the real air-interface encodings (FOCC frames with B/I bits,
+FVC blank-and-burst repeats, RECC bursts).
+
+Protocol behavior follows TIA/EIA-553: §2.6.3 FOCC word reception
+(3-of-5 majority, implemented in ms/focc_rx.py), §3.1.1 busy/idle
+deference, §2.4.8 handoff confirmation (50 ms ST, retune, transpond new
+SAT), §2.7.2 signaling-tone semantics (ring = ST on, answer = ST drop,
+release = 1.8 s ST).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from amps_tpu.config import SystemConfig
+from amps_tpu.control import fields
+from amps_tpu.ms.focc_rx import decode_focc_stream, parse_focc_word
+from amps_tpu.ms.fvc_rx import decode_fvc_stream
+from amps_tpu.tx import recc_ms
+
+IDLE = "idle"
+WAIT_ASSIGN = "wait_assign"     # responded on RECC, awaiting channel
+RINGING = "ringing"             # on voice channel, alert received
+CONVERSATION = "conversation"
+RELEASED = "released"
+
+_ALERT_ORDER = 1
+_RELEASE_ORDER = 3
+
+SAT_AMPLITUDE = 0.05
+ST_AMPLITUDE = 0.05
+FRAME_S = 0.01                  # supervision measurement frame
+
+
+class SimMobile:
+    """One mobile.  Feed forward symbols via hear_focc / hear_fvc; pull
+    RECC bursts from .outbox and supervision frames from
+    supervision_frames() into BaseStation.push_supervision."""
+
+    def __init__(self, min_str: str, esn: int = 0x1234ABCD, sps: int = 5,
+                 system: Optional[SystemConfig] = None):
+        self.min_str = min_str
+        self.min1, self.min2 = fields.parse_min(min_str)
+        self.esn = esn
+        self.sps = sps
+        self.system = system or SystemConfig()
+        self.state = IDLE
+        self.voice_chan: Optional[int] = None
+        self.sat_scc: Optional[int] = None
+        self.recc_busy = False
+        self.outbox: List[Tuple[str, np.ndarray]] = []
+        self.log: List[str] = []
+        self._pending_w1: Optional[dict] = None
+        self._st_release_frames = 0     # pending release-ST frames to send
+
+    # -- forward listening ---------------------------------------------------
+
+    def hear_focc(self, symbols, sps: Optional[int] = None) -> None:
+        for fr in decode_focc_stream(symbols, sps or self.sps):
+            self.recc_busy = fr.busy
+            if fr.ok_a:
+                self._on_focc_word(parse_focc_word(fr.word_a))
+
+    def _on_focc_word(self, p: dict) -> None:
+        if p["type"] == "word1":
+            self._pending_w1 = p if p["MIN1"] == self.min1 else None
+            return
+        if self._pending_w1 is None:
+            return
+        if p["type"] == "word2_order" and p["MIN2"] == self.min2:
+            self._pending_w1 = None
+            if p["ORDER"] == 0 and self.state == IDLE:          # page
+                self.log.append("paged")
+                if self.recc_busy:
+                    # §3.1.1: defer while the RECC is marked busy; the
+                    # station repeats pages, so dropping this one is the
+                    # spec behavior, not a loss
+                    self.log.append("recc_busy_defer")
+                    return
+                self.state = WAIT_ASSIGN
+                words = recc_ms.page_response_words(self.min_str)
+                self.outbox.append(("page_response", recc_ms.burst_symbols(
+                    words, dcc=self.system.dcc, sps=self.sps)))
+            elif p["ORDER"] == 7:                               # audit
+                self.log.append("audit_confirmed")
+            elif p["ORDER"] == 9:                               # intercept
+                self.log.append("intercept")
+                self.state = IDLE
+        elif p["type"] == "word2_voice" and p["MIN2"] == self.min2:
+            self._pending_w1 = None
+            self.voice_chan = p["CHAN"]
+            self.sat_scc = p["SCC"]
+            self.log.append(f"assigned {p['CHAN']}")
+            if self.state == WAIT_ASSIGN:
+                # tuned and transponding SAT; an FVC alert (if this was
+                # a page) moves it to RINGING
+                self.state = CONVERSATION
+
+    def hear_fvc(self, symbols, sps: Optional[int] = None) -> None:
+        w = decode_fvc_stream(symbols, sps or self.sps)
+        if w is None:
+            return
+        p = fields.FvcVoiceChannel.parse(w)
+        if p.is_order:
+            order = int("".join(str(int(b)) for b in np.asarray(w)[23:28]), 2)
+            if order == _ALERT_ORDER and self.state in (CONVERSATION,
+                                                        RINGING):
+                self.state = RINGING
+                self.log.append("ringing")
+            elif order == _RELEASE_ORDER:
+                self.log.append("released_by_station")
+                self._st_release_frames = int(1.9 / FRAME_S)
+                self.state = RELEASED
+        else:
+            # handoff designation: confirm with 50 ms ST, retune,
+            # transpond the (possibly new) SAT (553 §2.4.8)
+            self.log.append(f"handoff {self.voice_chan}->{p.CHAN}")
+            self.voice_chan = p.CHAN
+            self.sat_scc = p.SCC
+
+    # -- user actions ---------------------------------------------------------
+
+    def answer(self) -> None:
+        if self.state == RINGING:
+            self.state = CONVERSATION
+            self.log.append("answered")
+
+    def hang_up(self) -> None:
+        """Mobile-initiated release: 1.8 s of ST, then off the channel."""
+        if self.state in (RINGING, CONVERSATION):
+            self._st_release_frames = int(1.9 / FRAME_S)
+            self.state = RELEASED
+            self.log.append("hang_up")
+
+    def originate(self, dialed: str) -> None:
+        if self.state != IDLE or self.recc_busy:
+            self.log.append("originate_blocked")
+            return
+        words = recc_ms.origination_words(self.min_str, dialed, esn=self.esn)
+        self.outbox.append(("origination", recc_ms.burst_symbols(
+            words, dcc=self.system.dcc, sps=self.sps)))
+        self.state = WAIT_ASSIGN
+        self.log.append(f"originate {dialed}")
+
+    def register(self) -> None:
+        if self.recc_busy:
+            self.log.append("register_blocked")
+            return
+        words = recc_ms.registration_words(self.min_str, esn=self.esn)
+        self.outbox.append(("registration", recc_ms.burst_symbols(
+            words, dcc=self.system.dcc, sps=self.sps)))
+        self.log.append("register")
+
+    # -- reverse voice channel (SAT/ST transponder) ----------------------------
+
+    def supervision_frames(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(n, 4) [SAT0, SAT1, SAT2, ST] amplitudes + (n,) band power —
+        what rx.voice.supervision_levels would measure on this mobile's
+        reverse voice channel; feed to BaseStation.push_supervision."""
+        levels = np.zeros((n, 4), np.float32)
+        power = np.zeros(n, np.float32)
+        on_channel = self.state in (RINGING, CONVERSATION)
+        for f in range(n):
+            sending_release_st = self._st_release_frames > 0
+            if not on_channel and not sending_release_st:
+                continue
+            power[f] = 1e-3
+            if self.sat_scc is not None:
+                levels[f, self.sat_scc] = SAT_AMPLITUDE
+            if self.state == RINGING or sending_release_st:
+                levels[f, 3] = ST_AMPLITUDE
+            if sending_release_st:
+                self._st_release_frames -= 1
+        return levels, power

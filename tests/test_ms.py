@@ -1,0 +1,129 @@
+"""SimMobile closed loop: the FULL call lifecycle crosses real air-
+interface encodings in both directions — page (FOCC frames) -> page
+response (RECC burst through the correlator+decoder) -> voice
+assignment (FOCC) -> alert (FVC blank-and-burst) -> ringing/answer
+(ST supervision) -> handoff (FVC designation) -> mobile release (1.8 s
+ST).  The reference could only do any of this against real phones."""
+
+import numpy as np
+
+from amps_tpu.control.station import BaseStation
+from amps_tpu.ms import SimMobile
+from amps_tpu.rx import correlator, decoder
+
+SPS = 5
+
+
+def deliver_recc(bs, syms):
+    """Mobile RECC burst symbols -> station via the real RX decode stack."""
+    lead = np.tile(np.array([1, -1], np.int8), 300)
+    stream = np.concatenate(
+        [lead, syms, np.zeros(correlator.CAPTURE_SYMBOLS * SPS, np.int8)]
+    ).astype(np.float32)
+    starts, valid, q, hard, soft = correlator.find_and_extract(
+        stream, SPS, max_bursts=1, threshold=0.5)
+    assert bool(np.asarray(valid)[0])
+    dec = decoder.decode_bursts(np.asarray(hard)[0])
+    bs.handle_burst(np.asarray(dec.words), np.asarray(dec.word_ok))
+
+
+def fvc_block(bs, n=1032 * 2 * SPS + 500):
+    return bs.fvc.next_block(n).astype(np.float32)
+
+
+def test_full_call_lifecycle_closed_loop():
+    bs = BaseStation()
+    mob = SimMobile("5551234567", sps=SPS)
+
+    # operator pages the mobile
+    bs.handle_command("page 5551234567")
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert "paged" in mob.log
+    assert mob.outbox and mob.outbox[0][0] == "page_response"
+
+    # mobile responds on the RECC; station assigns a voice channel
+    kind, burst = mob.outbox.pop(0)
+    deliver_recc(bs, burst)
+    assert bs.supervisors[355].state == "alerting"
+    assert bs.focc._busy_superframes == 1   # seizure marked busy
+
+    # mobile hears the (busy) assignment superframe and tunes
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert mob.recc_busy                    # B/I carried over the air
+    assert mob.voice_chan == 355 and mob.sat_scc == bs.system.scc
+    assert mob.state == "conversation"
+
+    # FVC alert rings the mobile; station sees ST while ringing
+    mob.hear_fvc(fvc_block(bs))
+    assert mob.state == "ringing"
+    lv, pw = mob.supervision_frames(30)
+    assert lv[:, 3].max() > 0               # ST on
+    bs.push_supervision(355, lv, pw)
+    assert bs.supervisors[355].state == "alerting"
+
+    # user answers: ST drops -> station flips to conversation + audio
+    mob.answer()
+    lv, pw = mob.supervision_frames(30)
+    assert lv[:, 3].max() == 0
+    bs.push_supervision(355, lv, pw)
+    assert bs.supervisors[355].state == "conversation"
+    assert (bs.fvc_mute, bs.audio_mute) == (True, False)
+
+    # handoff to channel 356 over the FVC; mobile retunes
+    assert bs.handoff(355, 356)
+    mob.hear_fvc(fvc_block(bs))
+    assert mob.voice_chan == 356
+    assert any(s.startswith("handoff") for s in mob.log)
+    lv, pw = mob.supervision_frames(50)
+    bs.push_supervision(356, lv, pw)
+    assert bs.supervisors[356].state == "conversation"
+
+    # mobile hangs up: 1.8 s ST releases the channel at the station
+    mob.hang_up()
+    lv, pw = mob.supervision_frames(200)
+    bs.push_supervision(356, lv, pw)
+    assert 356 not in bs.supervisors
+    assert [e for e in bs.events if e.kind == "release"]
+
+
+def test_busy_idle_defers_mobile():
+    """A mobile hearing B/I=busy defers its page response (553 §3.1.1) —
+    the air-interface consequence of FoccStream.mark_busy."""
+    bs = BaseStation()
+    mob = SimMobile("2135551212", sps=SPS)
+    bs.focc.mark_busy(1)
+    bs.handle_command("page 2135551212")
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert "recc_busy_defer" in mob.log
+    assert not mob.outbox and mob.state == "idle"
+    # next superframe is idle again; the repeated page goes through
+    bs.handle_command("page 2135551212")
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert mob.outbox and mob.state == "wait_assign"
+
+
+def test_mobile_origination_and_registration():
+    bs = BaseStation()
+    mob = SimMobile("4155550123", esn=0xDEADBEEF, sps=SPS)
+    mob.register()
+    kind, burst = mob.outbox.pop(0)
+    deliver_recc(bs, burst)
+    # station confirms with an audit order the mobile understands
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert "audit_confirmed" in mob.log
+    assert mob.recc_busy                    # seizure marked the RECC busy
+
+    mob.originate("16505551234")            # defers: RECC still busy
+    assert "originate_blocked" in mob.log and not mob.outbox
+    # next superframe is idle; retry goes out
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert not mob.recc_busy
+    mob.originate("16505551234")
+    kind, burst = mob.outbox.pop(0)
+    deliver_recc(bs, burst)
+    mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert mob.voice_chan == 356            # origination channel
+    assert mob.state == "conversation"
+    # loopback page command was emitted for the dialed number
+    assert any(e.kind == "command" and "page 16505551234" in str(e.payload)
+               for e in bs.events)
