@@ -127,3 +127,35 @@ def test_mobile_origination_and_registration():
     # loopback page command was emitted for the dialed number
     assert any(e.kind == "command" and "page 16505551234" in str(e.payload)
                for e in bs.events)
+
+
+def test_ms_focc_decode_over_rf():
+    """The MS FOCC decoder works from the real FM discriminator output
+    (arbitrary symbol timing + filter ISI), not just clean symbols: a
+    superframe through fm_modulate -> rx_frontend decodes every full
+    frame BCH-clean, including the injected page words."""
+    from amps_tpu import PipelineConfig
+    from amps_tpu.codec import words as W
+    from amps_tpu.control import fields
+    from amps_tpu.ms import parse_focc_word
+    from amps_tpu.ms.focc_rx import decode_focc_stream
+    from amps_tpu.rx.frontend import rx_frontend
+    from amps_tpu.tx.focc import FoccStream, STREAM_BOTH
+    from amps_tpu.tx.modulator import fm_modulate
+
+    pipe = PipelineConfig()
+    st = FoccStream(sps=pipe.sps)
+    min1, min2 = fields.parse_min("5551234567")
+    st.push_words(STREAM_BOTH, [np.asarray(W.focc_word1(True, 0, min1)),
+                                np.asarray(W.focc_word2_general(min2, 0, 0,
+                                                                0))])
+    syms = np.asarray(st.next_superframe_symbols())
+    iq, _ = fm_modulate(syms.astype(np.int8), pipe)
+    demod, _ = rx_frontend(np.asarray(iq), pipe, center_freq=0.0)
+    frames = decode_focc_stream(np.asarray(demod), sps=10)
+    assert len(frames) >= 17                # group delay eats <1 frame
+    assert all(f.ok_a and f.ok_b for f in frames)
+    parsed = [parse_focc_word(f.word_a) for f in frames]
+    assert [p for p in parsed if p["type"] == "word1" and p["MIN1"] == min1]
+    assert [p for p in parsed
+            if p["type"] == "word2_order" and p["MIN2"] == min2]
