@@ -17,8 +17,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 
-if "cpu" in os.environ.get("JAX_PLATFORMS", "cpu").split(","):
-    jax.config.update("jax_platforms", "cpu")
+# Force CPU: this shell force-merges the axon TPU plugin into
+# jax_platforms, so an env-var check can never fire.  Opt into another
+# platform explicitly with AMPS_DEMO_PLATFORM.
+jax.config.update("jax_platforms",
+                  os.environ.get("AMPS_DEMO_PLATFORM", "cpu"))
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
