@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from amps_tpu.codec.bits import packbits
@@ -156,9 +157,18 @@ def packed_lut_lookup(idx, table: np.ndarray):
     oh_a = ((idx // 256)[..., None] == i16).astype(jnp.float32)
     oh_b = ((idx // 16 % 16)[..., None] == i16).astype(jnp.float32)
     oh_c = ((idx % 16)[..., None] == i16).astype(jnp.float32)
+    # Precision.HIGHEST is LOAD-BEARING: at the TPU's default matmul
+    # precision, f32 contractions run as bf16 MXU passes, which round
+    # the table's 2^17-magnitude packed values to multiples of 512 —
+    # silently corrupting pos1/pos2 AND the valid bit (observed on
+    # chip: every BCH decode rejected while CPU accepted, tools/
+    # soak_tpu.out).  These contractions are tiny; exactness is free.
+    hi = jax.lax.Precision.HIGHEST
     gf = jnp.einsum("...ab,...b->...a",
-                    jnp.einsum("abc,...c->...ab", T3, oh_c), oh_b)
-    return jnp.einsum("...a,...a->...", oh_a, gf).astype(jnp.int32)
+                    jnp.einsum("abc,...c->...ab", T3, oh_c, precision=hi),
+                    oh_b, precision=hi)
+    return jnp.einsum("...a,...a->...", oh_a, gf,
+                      precision=hi).astype(jnp.int32)
 
 
 def _syndrome_packed(rx, n_code: int):

@@ -184,3 +184,26 @@ def test_recc_parsers_golden(rng):
         assert int(pb["MSG_TYPE"][i]) == wb["MSG_TYPE"]
         assert int(pb["MIN2"][i]) == wb["MIN2"]
         assert int(pb["SDCC1"][i]) == wb["SDCC1"]
+
+
+def test_packed_lut_lookup_requests_exact_precision():
+    """The packed-LUT contractions carry 2^17-magnitude table values;
+    at the TPU's DEFAULT matmul precision they run as bf16 MXU passes
+    that round those to multiples of 512 — observed on chip as every
+    BCH decode rejected (word_ok all False) while CPU accepted
+    (tools/soak_tpu.out).  CPU cannot reproduce the rounding, so guard
+    the fix structurally: every dot in the lookup must request HIGHEST
+    precision."""
+    import jax
+    import jax.numpy as jnp
+    from amps_tpu.codec.bch import (packed_lut_lookup,
+                                    recc_decode_table_packed)
+
+    table = recc_decode_table_packed()
+    jaxpr = jax.make_jaxpr(
+        lambda i: packed_lut_lookup(i, table))(jnp.zeros((4,), jnp.int32))
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "lookup no longer uses contractions; update this test"
+    for e in dots:
+        prec = e.params.get("precision")
+        assert prec is not None and "HIGHEST" in str(prec), (e.params,)
