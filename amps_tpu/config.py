@@ -28,6 +28,10 @@ class SystemConfig:
     regincr: int = 100         # registration-increment (lib/focc_impl.cc:428)
     fvc_alert_repeats: int = 35  # "timerhack" bursts before auto fvc-off
                                  # (lib/recc_decode_impl.cc:215)
+    page_repeats: int = 2        # superframes a page is repeated over, so
+                                 # a mobile deferring during a busy-marked
+                                 # superframe still hears one (553 §3.1.1;
+                                 # extension -- the reference never repeats)
 
     @property
     def sat_freq_hz(self) -> float:

@@ -90,9 +90,9 @@ class BaseStation:
     def _debug(self, msg: str) -> None:
         self._emit("debug", msg)
 
-    def _push_focc(self, *words28) -> None:
+    def _push_focc(self, *words28, repeats: int = 1) -> None:
         ws = [np.asarray(w, dtype=np.uint8) for w in words28]
-        self.focc.push_words(STREAM_BOTH, ws)
+        self.focc.push_words(STREAM_BOTH, ws, repeats=repeats)
         self._emit("focc_words", ws)
 
     def _set_fvc(self, word28, timer: int = 0) -> None:
@@ -256,6 +256,11 @@ class BaseStation:
         channel, where supervision resumes in the same call state (the
         5 s fade timeout comfortably covers the retune gap).
         """
+        if new_chan == old_chan or new_chan in self.supervisors:
+            # never clobber another live call's supervisor (it would be
+            # silently dropped without a release on its channel)
+            self._debug(f"handoff: target channel {new_chan} not free\n")
+            return False
         sup = self.supervisors.pop(old_chan, None)
         if sup is None or sup.state not in (ALERTING, CONVERSATION):
             if sup is not None:
@@ -300,10 +305,12 @@ class BaseStation:
         elif cmd.lower().startswith("handoff "):
             # extension command: 'handoff <old_chan> <new_chan>'
             parts = cmd.split()
-            if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
-                self.handoff(int(parts[1]), int(parts[2]))
-            else:
+            try:
+                old_c, new_c = int(parts[1]), int(parts[2])
+            except (ValueError, IndexError):
                 self._debug("usage: handoff <old_chan> <new_chan>\n")
+            else:
+                self.handoff(old_c, new_c)
         else:
             self._debug("invalid command\n")
 
@@ -320,4 +327,7 @@ class BaseStation:
         min1, min2 = parsed
         word1 = W.focc_word1(True, self.system.dcc, min1)
         word2 = W.focc_word2_general(min2, 0, 0, 0)  # page order
-        self._push_focc(word1, word2)
+        # repeated across superframes: an origination marks the RECC
+        # busy for the superframe that carries the first copy, so the
+        # paged mobile would otherwise defer and never hear it again
+        self._push_focc(word1, word2, repeats=self.system.page_repeats)

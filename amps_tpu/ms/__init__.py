@@ -12,8 +12,9 @@ one channel at spec rates; it is not the base station's hot path).
 """
 
 from amps_tpu.ms.focc_rx import decode_focc_stream, parse_focc_word
-from amps_tpu.ms.fvc_rx import decode_fvc_stream
+from amps_tpu.ms.fvc_rx import decode_fvc_stream, decode_fvc_words
 from amps_tpu.ms.mobile import SimMobile
 
-__all__ = ["decode_focc_stream", "parse_focc_word", "decode_fvc_stream",
+__all__ = ["decode_focc_stream", "parse_focc_word",
+           "decode_fvc_stream", "decode_fvc_words",
            "SimMobile"]

@@ -23,7 +23,7 @@ import numpy as np
 from amps_tpu.config import SystemConfig
 from amps_tpu.control import fields
 from amps_tpu.ms.focc_rx import decode_focc_stream, parse_focc_word
-from amps_tpu.ms.fvc_rx import decode_fvc_stream
+from amps_tpu.ms.fvc_rx import decode_fvc_words
 from amps_tpu.tx import recc_ms
 
 IDLE = "idle"
@@ -59,6 +59,7 @@ class SimMobile:
         self.outbox: List[Tuple[str, np.ndarray]] = []
         self.log: List[str] = []
         self._pending_w1: Optional[dict] = None
+        self._pending_access: Optional[Tuple[str, np.ndarray]] = None
         self._st_release_frames = 0     # pending release-ST frames to send
 
     # -- forward listening ---------------------------------------------------
@@ -68,6 +69,15 @@ class SimMobile:
             self.recc_busy = fr.busy
             if fr.ok_a:
                 self._on_focc_word(parse_focc_word(fr.word_a))
+        if (self._pending_access is not None and not self.recc_busy
+                and self.state == IDLE):
+            # 553 access procedure: a deferred access retries once the
+            # B/I bit reads idle again
+            kind, burst = self._pending_access
+            self._pending_access = None
+            self.outbox.append((kind, burst))
+            self.state = WAIT_ASSIGN
+            self.log.append(f"deferred_{kind}_sent")
 
     def _on_focc_word(self, p: dict) -> None:
         if p["type"] == "word1":
@@ -79,16 +89,20 @@ class SimMobile:
             self._pending_w1 = None
             if p["ORDER"] == 0 and self.state == IDLE:          # page
                 self.log.append("paged")
+                words = recc_ms.page_response_words(self.min_str)
+                burst = recc_ms.burst_symbols(words, dcc=self.system.dcc,
+                                              sps=self.sps)
                 if self.recc_busy:
-                    # §3.1.1: defer while the RECC is marked busy; the
-                    # station repeats pages, so dropping this one is the
-                    # spec behavior, not a loss
+                    # §3.1.1: defer the access while the RECC is marked
+                    # busy; retried when a later frame reads idle (and
+                    # the station also repeats pages across superframes,
+                    # SystemConfig.page_repeats)
                     self.log.append("recc_busy_defer")
+                    self._pending_access = ("page_response", burst)
                     return
                 self.state = WAIT_ASSIGN
-                words = recc_ms.page_response_words(self.min_str)
-                self.outbox.append(("page_response", recc_ms.burst_symbols(
-                    words, dcc=self.system.dcc, sps=self.sps)))
+                self._pending_access = None   # superseded by this access
+                self.outbox.append(("page_response", burst))
             elif p["ORDER"] == 7:                               # audit
                 self.log.append("audit_confirmed")
             elif p["ORDER"] == 9:                               # intercept
@@ -105,9 +119,10 @@ class SimMobile:
                 self.state = CONVERSATION
 
     def hear_fvc(self, symbols, sps: Optional[int] = None) -> None:
-        w = decode_fvc_stream(symbols, sps or self.sps)
-        if w is None:
-            return
+        for w in decode_fvc_words(symbols, sps or self.sps):
+            self._on_fvc_word(w)
+
+    def _on_fvc_word(self, w: np.ndarray) -> None:
         p = fields.FvcVoiceChannel.parse(w)
         if p.is_order:
             order = int("".join(str(int(b)) for b in np.asarray(w)[23:28]), 2)

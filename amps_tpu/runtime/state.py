@@ -93,9 +93,15 @@ def save_station(path: str, bs) -> None:
     with bs.focc._lock:
         q = list(bs.focc._queue)
         busy = bs.focc._busy_superframes
+        deferred = list(bs.focc._deferred)
     payload["focc_queue"] = (np.stack(q).astype(np.uint8) if q
                              else np.zeros((0, 2, 28), np.uint8))
     payload["focc_busy"] = np.int64(busy)
+    payload["focc_deferred_n"] = np.asarray([n for n, _ in deferred],
+                                            np.int64)
+    payload["focc_deferred"] = (np.stack([p_ for _, p_ in deferred])
+                                .astype(np.uint8) if deferred
+                                else np.zeros((0, 2, 28), np.uint8))
     with bs.fvc._lock:
         burst = bs.fvc._burst
         payload["fvc_burst"] = (np.asarray(burst, np.int8) if burst is not None
@@ -127,6 +133,10 @@ def load_station(path: str, bs) -> None:
             bs.focc._queue.append(pair.copy())
         bs.focc._busy_superframes = int(z["focc_busy"]) \
             if "focc_busy" in z else 0
+        if "focc_deferred" in z:
+            bs.focc._deferred = [
+                (int(n), pair.copy()) for n, pair in
+                zip(z["focc_deferred_n"], z["focc_deferred"])]
     with bs.fvc._lock:
         bs.fvc._burst = (z["fvc_burst"].copy() if bool(z["fvc_has_burst"])
                          else None)

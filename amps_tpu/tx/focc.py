@@ -217,6 +217,11 @@ class FoccStream:
             if np.array_equal(self._template[i, 0], W.CONTROL_FILLER)
         ]
         self._queue: collections.deque = collections.deque()
+        # (remaining_repeats, pair) entries re-queued one per FUTURE
+        # superframe — page repetition across superframes (a repeat in
+        # the SAME superframe would ride the same busy flag and help
+        # nobody)
+        self._deferred: List = []
         self._busy_superframes = 0
         self._lock = threading.Lock()
         self._debug = open(debug_sink, "ab") if debug_sink else None
@@ -226,10 +231,16 @@ class FoccStream:
     def frames_per_superframe(self) -> int:
         return self._template.shape[0]
 
-    def push_words(self, stream: int, words28: Iterable[np.ndarray]) -> None:
+    def push_words(self, stream: int, words28: Iterable[np.ndarray],
+                   repeats: int = 1) -> None:
         """Queue mobile-control words (focc_words_message,
         lib/focc_impl.cc:522-563): each word becomes one frame, paired with
-        filler on the unused stream."""
+        filler on the unused stream.
+
+        repeats > 1 re-sends the words once per SUBSEQUENT superframe
+        (pages are repeated so a mobile that deferred during a
+        busy-marked superframe still hears one — the reference never
+        repeats, its busy bit being vestigial)."""
         filler = np.asarray(W.CONTROL_FILLER)
         with self._lock:
             for word in words28:
@@ -244,6 +255,8 @@ class FoccStream:
                 else:
                     raise ValueError(f"invalid stream {stream}")
                 self._queue.append(pair)
+                if repeats > 1:
+                    self._deferred.append((repeats - 1, pair))
 
     def queue_depth(self) -> int:
         with self._lock:
@@ -258,6 +271,13 @@ class FoccStream:
                 if not self._queue:
                     break
                 out[slot] = self._queue.popleft()
+            # deferred repeats go out starting with the NEXT superframe
+            nxt = []
+            for n, pair in self._deferred:
+                self._queue.append(pair)
+                if n > 1:
+                    nxt.append((n - 1, pair))
+            self._deferred = nxt
         return out
 
     def mark_busy(self, superframes: int = 1) -> None:

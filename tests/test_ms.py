@@ -87,19 +87,60 @@ def test_full_call_lifecycle_closed_loop():
 
 
 def test_busy_idle_defers_mobile():
-    """A mobile hearing B/I=busy defers its page response (553 §3.1.1) —
-    the air-interface consequence of FoccStream.mark_busy."""
+    """A mobile hearing B/I=busy defers its access (553 §3.1.1) and
+    retries on its own once a later superframe reads idle — no second
+    page needed."""
     bs = BaseStation()
     mob = SimMobile("2135551212", sps=SPS)
     bs.focc.mark_busy(1)
-    bs.handle_command("page 2135551212")
+    # single-copy page (repeats=1): only the mobile-side deferred access
+    # can save it
+    from amps_tpu.codec import words as W
+    from amps_tpu.control import fields as F
+    from amps_tpu.tx.focc import STREAM_BOTH
+    min1, min2 = F.parse_min("2135551212")
+    bs.focc.push_words(STREAM_BOTH,
+                       [np.asarray(W.focc_word1(True, 0, min1)),
+                        np.asarray(W.focc_word2_general(min2, 0, 0, 0))])
     mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
     assert "recc_busy_defer" in mob.log
     assert not mob.outbox and mob.state == "idle"
-    # next superframe is idle again; the repeated page goes through
-    bs.handle_command("page 2135551212")
+    # next superframe is idle (and empty): the deferred access goes out
+    # by itself — no repeated page needed
     mob.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert "deferred_page_response_sent" in mob.log
     assert mob.outbox and mob.state == "wait_assign"
+
+
+def test_mobile_to_mobile_call_establishes():
+    """The scenario the busy bit used to break: A originates to B.  The
+    origination marks the RECC busy, so the page to B rides a busy
+    superframe; with page repetition (station) and deferred access
+    (mobile), B's leg still establishes."""
+    bs = BaseStation()
+    a = SimMobile("4155550123", sps=SPS)
+    b = SimMobile("2125557890", sps=SPS)
+
+    a.originate("2125557890")
+    kind, burst = a.outbox.pop(0)
+    deliver_recc(bs, burst)                     # marks busy + queues page
+    # superframe 1 (busy): A gets its assignment; B defers the page
+    sf = np.asarray(bs.focc.next_superframe_symbols(), np.float32)
+    a.hear_focc(sf)
+    b.hear_focc(sf)
+    assert a.voice_chan == 356
+    assert "recc_busy_defer" in b.log and not b.outbox
+    # superframe 2 (idle, carries the repeated page): B responds
+    sf = np.asarray(bs.focc.next_superframe_symbols(), np.float32)
+    b.hear_focc(sf)
+    assert b.outbox, b.log
+    kind, burst = b.outbox.pop(0)
+    deliver_recc(bs, burst)
+    # B hears its own voice assignment on the next idle superframe
+    b.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    b.hear_focc(np.asarray(bs.focc.next_superframe_symbols(), np.float32))
+    assert b.voice_chan == 355                  # page-response channel
+    assert b.state in ("conversation", "ringing")
 
 
 def test_mobile_origination_and_registration():
@@ -159,3 +200,29 @@ def test_ms_focc_decode_over_rf():
     assert [p for p in parsed if p["type"] == "word1" and p["MIN1"] == min1]
     assert [p for p in parsed
             if p["type"] == "word2_order" and p["MIN2"] == min2]
+
+
+def test_fvc_decode_odd_parity_and_multiword():
+    """The FVC decoder survives blocks cut at odd symbol boundaries
+    (both Manchester pair parities are scanned) and never merges a
+    multi-word burst into one chimera vote (hits cluster per word)."""
+    from amps_tpu.codec import words as W
+    from amps_tpu.ms import decode_fvc_words
+    from amps_tpu.tx.fvc import FvcStream
+
+    alert = np.asarray(W.fvc_word1_general(1, 0, 0, 1))
+    release = np.asarray(W.fvc_word1_general(1, 0, 0, 3))
+
+    fvc = FvcStream(sps=SPS)
+    fvc.set_words(np.stack([alert, release]), timer=0)
+    blk = fvc.next_block(2 * 1032 * 2 * SPS + 501).astype(np.float32)
+
+    got = decode_fvc_words(blk, sps=SPS)
+    assert len(got) == 2
+    assert np.array_equal(got[0], alert) and np.array_equal(got[1], release)
+
+    # odd symbol boundary: drop one leading symbol worth of samples
+    got_odd = decode_fvc_words(blk[SPS:], sps=SPS)
+    assert len(got_odd) == 2
+    assert np.array_equal(got_odd[0], alert)
+    assert np.array_equal(got_odd[1], release)

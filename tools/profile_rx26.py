@@ -1,7 +1,7 @@
 """Current stage marginals at the bench config (M=1024/256, fold=bank,
 io_bf16, corr_bf16) after symbol-domain decode + DC slicing: cumulative
 analyze / +demod / +phases / +find / +extract / +decode."""
-import functools, json, sys, time
+import json, sys, time
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

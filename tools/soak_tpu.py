@@ -48,7 +48,9 @@ for ev in events:
 x, _ = chz.synthesize(Y, spec.chz_spec, chz.synthesizer_init(spec.chz_spec))
 key = jax.random.PRNGKey(1)
 x = x + 0.02 * jax.random.normal(key, x.shape, jnp.float32)
-x = jax.block_until_ready(x)
+# CLAUDE.md: block_until_ready does not reliably synchronize on axon;
+# force a host read to fence the synthesis before timing
+float(jnp.sum(x[:8]))
 emit(event="synthesized", n_events=len(events), wideband=int(x.shape[0]),
      synth_s=round(time.time() - t0, 1))
 
