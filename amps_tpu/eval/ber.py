@@ -66,6 +66,20 @@ def _trial_batch_iq(iq, noise_sigma, key, words_true, sps: int, n: int,
     return _rx_trials(iq, words_true, sps, policy)
 
 
+def _test_burst_iq(sps: int):
+    """Shared trial signal: a page-response burst with idle lead/tail,
+    FSK-modulated at sps samples per symbol.  Returns (iq (n, 2) jax
+    array, (nw, 36) true words)."""
+    pipe = PipelineConfig()
+    words = recc_ms.page_response_words("5551234567")
+    syms = recc_ms.burst_symbols(words, dcc=0, sps=sps)
+    lead = np.tile(np.array([1, -1], np.int8), 300)
+    stream = np.concatenate([lead, syms, lead]).astype(np.int8)
+    sens = 2.0 * np.pi * pipe.deviation_hz / (sps * pipe.baud)
+    iq, _ = fm_modulate_symbols(stream, sens)
+    return iq, jnp.asarray(np.stack(words))
+
+
 def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
                     seed: int = 0, sps: int = 3,
                     policy: str = "first_ok") -> Dict[float, dict]:
@@ -74,14 +88,7 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
     Signal is a unit-modulus FSK burst; SNR(dB) = -10 log10(sigma_c^2)
     with sigma_c^2 the complex noise variance.
     """
-    pipe = PipelineConfig()
-    words = recc_ms.page_response_words("5551234567")
-    words_true = jnp.asarray(np.stack(words))
-    syms = recc_ms.burst_symbols(words, dcc=0, sps=sps)
-    lead = np.tile(np.array([1, -1], np.int8), 300)
-    stream = np.concatenate([lead, syms, lead]).astype(np.int8)
-    sens = 2.0 * np.pi * pipe.deviation_hz / (sps * pipe.baud)
-    iq, _ = fm_modulate_symbols(stream, sens)
+    iq, words_true = _test_burst_iq(sps)
     n = iq.shape[0]
 
     out = {}
@@ -117,17 +124,10 @@ def recc_fading_curve(snr_dbs: Sequence[float], doppler_hz: float = 77.0,
     """
     from amps_tpu.eval import channel
 
-    pipe = PipelineConfig()
-    words = recc_ms.page_response_words("5551234567")
-    words_true = jnp.asarray(np.stack(words))
-    syms = recc_ms.burst_symbols(words, dcc=0, sps=sps)
-    lead = np.tile(np.array([1, -1], np.int8), 300)
-    stream = np.concatenate([lead, syms, lead]).astype(np.int8)
-    sens = 2.0 * np.pi * pipe.deviation_hz / (sps * pipe.baud)
-    iq, _ = fm_modulate_symbols(stream, sens)
+    iq, words_true = _test_burst_iq(sps)
     iq = np.asarray(iq)
     n = iq.shape[0]
-    fs = float(sps * pipe.baud)
+    fs = float(sps * PipelineConfig().baud)
 
     rng = np.random.default_rng(seed)
     faded = np.stack([

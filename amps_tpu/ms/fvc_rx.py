@@ -20,6 +20,7 @@ from typing import List, Optional
 import numpy as np
 
 from amps_tpu.codec.bch import focc_bch_decode
+from amps_tpu.ms.focc_rx import _dump
 from amps_tpu.tx.focc import WORD_SYNC
 
 _REPEATS = 11
@@ -27,12 +28,6 @@ _WORD_BITS = 40
 _HIT_PERIOD = 11 + _WORD_BITS + 37        # 88: ws->ws inside one word
 _CLUSTER_GAP = 120                        # between 88 and the 152-bit
                                           # word/wrap boundary jump
-
-
-def _dump(symbols, sps: int) -> np.ndarray:
-    s = np.asarray(symbols, np.float32)
-    nsym = len(s) // sps
-    return s[: nsym * sps].reshape(nsym, sps).mean(-1)
 
 
 def _vote_cluster(words: List[np.ndarray]) -> Optional[np.ndarray]:
