@@ -53,8 +53,16 @@ def save_transmitter(path: str, tx) -> None:
         payload[f"accum_{k}"] = np.int64(tx._accum[k])
         with st._lock:
             q = list(st._queue)
+            deferred = list(st._deferred)
+            busy = st._busy_superframes
         payload[f"queue_{k}"] = (np.stack(q) if q
                                  else np.zeros((0, 2, 28), np.uint8))
+        payload[f"busy_{k}"] = np.int64(busy)
+        payload[f"deferred_n_{k}"] = np.asarray(
+            [n for n, _ in deferred], np.int64)
+        payload[f"deferred_{k}"] = (np.stack([p_ for _, p_ in deferred])
+                                    .astype(np.uint8) if deferred
+                                    else np.zeros((0, 2, 28), np.uint8))
     np.savez(path, **payload)
 
 
@@ -73,6 +81,12 @@ def load_transmitter(path: str, tx) -> None:
             st._queue.clear()
             for pair in z[f"queue_{k}"]:
                 st._queue.append(pair.copy())
+            st._busy_superframes = (int(z[f"busy_{k}"])
+                                    if f"busy_{k}" in z else 0)
+            if f"deferred_{k}" in z:
+                st._deferred = [
+                    (int(n), pair.copy()) for n, pair in
+                    zip(z[f"deferred_n_{k}"], z[f"deferred_{k}"])]
 
 
 _SUP_STATES = ("idle", "alerting", "conversation", "released")

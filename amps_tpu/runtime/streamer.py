@@ -114,7 +114,9 @@ class MultichannelReceiver:
                  policy: str = "majority",
                  tap_demod_path: Optional[str] = None,
                  pipeline_depth: int = 1,
-                 min_rssi: float = 0.0):
+                 min_rssi: float = 0.0,
+                 supervision_slots: tuple = (),
+                 on_supervision: Optional[Callable] = None):
         """``tap_demod_path``: append raw per-channel FM-demod float32
         blocks to this file — the debug-tap role of the reference's
         /tmp/recc.syms file sink (grc/recctest.grc) and AMPS_DEBUG
@@ -132,6 +134,13 @@ class MultichannelReceiver:
         combining: +0.28 word-success at +2 dB/sample SNR, docs/BER.md)
         or "first_ok" (reference-exact sequential fallback,
         lib/recc_decode_impl.cc:100-107).
+
+        ``supervision_slots`` + ``on_supervision``: per-block SAT/ST
+        supervision measurement on the given bank slots — the demod
+        plane is already computed, so rx.voice.supervision_levels adds
+        two small matmuls; the callback receives
+        (slot, levels (F, 4), power (F,)) per block, ready for
+        BaseStation.push_supervision.
 
         ``min_rssi``: drop reports whose mean channel band power is
         below this level.  FM is amplitude-invariant, so an idle
@@ -163,6 +172,8 @@ class MultichannelReceiver:
         self._last_seen = np.full(M, -10**12, np.int64)
         self.reports: List[BurstReport] = []
         self._tap = open(tap_demod_path, "ab") if tap_demod_path else None
+        self.supervision_slots = tuple(supervision_slots)
+        self.on_supervision = on_supervision
         self.depth = max(1, pipeline_depth)
         self._inflight: List[dict] = []
 
@@ -175,7 +186,8 @@ class MultichannelReceiver:
          self._carry, self._prev, _, chan_power, demod) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
             self.M, self.T, self.sps, self.max_bursts, self.threshold,
-            want_demod=self._tap is not None,
+            want_demod=(self._tap is not None
+                        or bool(self.supervision_slots)),
             bf16=self.spec.transform_bf16, split=self._split,
             fold=self.spec.fold, io_bf16=self.spec.io_bf16,
             corr_bf16=self.spec.corr_bf16)
@@ -201,6 +213,25 @@ class MultichannelReceiver:
     def _drain_one(self, e: dict) -> List[BurstReport]:
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
+        if self.supervision_slots and e["demod"] is not None:
+            from amps_tpu.rx.voice import supervision_levels
+            fs = float(self.spec.pipe.chan_rate)
+            frame = int(fs * 0.01)                       # 10 ms frames
+            dem = jnp.asarray(e["demod"])[
+                np.asarray(self.supervision_slots, np.int32)]
+            # skip the carried overlap head: those samples were already
+            # measured as the tail of the previous block
+            dem = dem[:, self.ovr:] if dem.shape[-1] > self.ovr else dem
+            if dem.shape[-1] >= frame:
+                # deviation-normalize so tone amplitudes come out in the
+                # TX units SupervisionConfig's nominals are stated in
+                sens = 2.0 * np.pi * self.spec.pipe.deviation_hz / fs
+                lv, pw = supervision_levels(
+                    dem.astype(jnp.float32) / sens, frame, fs)
+                lv, pw = np.asarray(lv), np.asarray(pw)
+                if self.on_supervision:
+                    for i, slot in enumerate(self.supervision_slots):
+                        self.on_supervision(slot, lv[i], pw[i])
         starts = np.asarray(e["starts"])
         valid = np.asarray(e["valid"])
         quality = np.asarray(e["quality"])

@@ -44,6 +44,10 @@ def build_parser():
                         "(slot 3 of the reverse band)")
     p.add_argument("--port", type=int, default=64652,
                    help="TCP command port (reference Socket PDU port)")
+    p.add_argument("--voice-slot-map", type=str, default="",
+                   help="AMPS_chan:bank_slot pairs for RVC supervision, "
+                        "e.g. '355:4,356:5' — SAT/ST on those slots is "
+                        "measured per block and drives call supervision")
     p.add_argument("--no-server", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu/axon)")
@@ -84,8 +88,19 @@ def main(argv=None):
               f"ok={int(rep.word_ok.sum())}/7")
         station.handle_burst(rep.words, rep.word_ok)
 
+    slot_map = {}
+    for pair in filter(None, args.voice_slot_map.split(",")):
+        chan_s, slot_s = pair.split(":")
+        slot_map[int(slot_s)] = int(chan_s)
+
+    def on_supervision(slot, levels, power):
+        station.push_supervision(slot_map[slot], levels, power)
+
     rx = MultichannelReceiver(spec, on_burst=on_burst, threshold=0.5,
-                              pipeline_depth=2)
+                              pipeline_depth=2,
+                              supervision_slots=tuple(slot_map),
+                              on_supervision=(on_supervision
+                                              if slot_map else None))
 
     from amps_tpu.runtime.executor import ThreadedExecutor
     from amps_tpu.runtime.sdr import FileIQSink, FileIQSource
