@@ -1,0 +1,103 @@
+"""Failure detection + elastic recovery for the streaming receiver.
+
+The reference has neither (SURVEY.md §5: a GR thread that dies takes
+the flowgraph down).  Here the receiver's carried state is explicit
+(runtime/state.py), so recovery is cheap and exact:
+
+* every ``checkpoint_blocks`` pushes, snapshot the carried state on the
+  host and drop the replay ring;
+* if a push raises (device lost/preempted/wedged, XLA runtime error),
+  build a FRESH receiver via the factory (new device buffers and
+  executables), restore the snapshot, replay the retained blocks, and
+  continue — the resumed stream is bit-identical to an uninterrupted
+  one (same guarantee tests/test_state.py pins for checkpoint/resume);
+* burst callbacks are delivered exactly once across replays (reports
+  are deduplicated by (channel, absolute symbol index)).
+
+The caller keeps feeding blocks; only an error that persists through
+``max_retries`` rebuilds is re-raised.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from amps_tpu.runtime.state import restore_receiver, snapshot_receiver
+from amps_tpu.runtime.streamer import BurstReport
+
+
+class ResilientReceiver:
+    """Elastic wrapper: ``make_receiver`` is a zero-argument factory
+    returning a fresh MultichannelReceiver (configure it WITHOUT an
+    on_burst callback — reports flow through this wrapper's return
+    values / ``on_burst`` so replay deduplication can apply)."""
+
+    def __init__(self, make_receiver: Callable[[], object],
+                 checkpoint_blocks: int = 4, max_retries: int = 2,
+                 on_burst: Optional[Callable[[BurstReport], None]] = None):
+        self._make = make_receiver
+        self.rx = make_receiver()
+        # the snapshot is the state AFTER every pushed block has fully
+        # drained; a depth>1 receiver keeps undrained device entries in
+        # flight, which a snapshot cannot represent
+        assert getattr(self.rx, "depth", 1) == 1, \
+            "ResilientReceiver requires pipeline_depth=1"
+        self.checkpoint_blocks = max(1, checkpoint_blocks)
+        self.max_retries = max_retries
+        self.on_burst = on_burst
+        self._snap = snapshot_receiver(self.rx)
+        self._ring: List[np.ndarray] = []
+        self._delivered = set()          # (channel, abs_symbol)
+        self.recoveries = 0
+
+    # -- delivery ------------------------------------------------------------
+
+    def _deliver(self, reports) -> List[BurstReport]:
+        out = []
+        for r in reports:
+            key = (r.channel, r.abs_symbol)
+            if key in self._delivered:
+                continue
+            self._delivered.add(key)
+            out.append(r)
+            if self.on_burst:
+                self.on_burst(r)
+        return out
+
+    # -- recovery ------------------------------------------------------------
+
+    def _recover_and_replay(self) -> List[BurstReport]:
+        """Fresh receiver + snapshot restore + ring replay."""
+        self.recoveries += 1
+        self.rx = self._make()
+        restore_receiver(self._snap, self.rx)
+        out: List[BurstReport] = []
+        for blk in self._ring:
+            out += self._deliver(self.rx.push(blk))
+        return out
+
+    # -- public API ------------------------------------------------------------
+
+    def push(self, block) -> List[BurstReport]:
+        block = np.asarray(block)
+        self._ring.append(block)
+        for attempt in range(self.max_retries + 1):
+            try:
+                if attempt == 0:
+                    out = self._deliver(self.rx.push(block))
+                else:
+                    out = self._recover_and_replay()
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                continue
+            break
+        if len(self._ring) >= self.checkpoint_blocks:
+            self._snap = snapshot_receiver(self.rx)
+            self._ring.clear()
+        return out
+
+    def flush(self) -> List[BurstReport]:
+        return self._deliver(self.rx.flush())

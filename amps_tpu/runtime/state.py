@@ -16,29 +16,39 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def snapshot_receiver(rx) -> Dict[str, np.ndarray]:
+    """MultichannelReceiver carried state as host arrays (the in-memory
+    form save_receiver persists; also the unit of elastic recovery,
+    runtime/resilient.py)."""
+    return {
+        "kind": np.asarray("receiver"),
+        "hist": np.asarray(rx._hist),
+        "parity": np.asarray(rx._parity),
+        "carry": np.asarray(rx._carry),
+        "prev": np.asarray(rx._prev),
+        "abs_base": np.int64(rx._abs_base),
+        "last_seen": rx._last_seen.copy(),
+    }
+
+
+def restore_receiver(snap, rx) -> None:
+    assert str(snap["kind"]) == "receiver"
+    rx._hist = jnp.asarray(snap["hist"])
+    rx._parity = jnp.asarray(snap["parity"])
+    rx._carry = jnp.asarray(snap["carry"])
+    rx._prev = jnp.asarray(snap["prev"])
+    rx._abs_base = int(snap["abs_base"])
+    rx._last_seen = np.asarray(snap["last_seen"]).copy()
+
+
 def save_receiver(path: str, rx) -> None:
     """MultichannelReceiver -> .npz"""
-    np.savez(
-        path,
-        kind="receiver",
-        hist=np.asarray(rx._hist),
-        parity=np.asarray(rx._parity),
-        carry=np.asarray(rx._carry),
-        prev=np.asarray(rx._prev),
-        abs_base=np.int64(rx._abs_base),
-        last_seen=rx._last_seen,
-    )
+    np.savez(path, **snapshot_receiver(rx))
 
 
 def load_receiver(path: str, rx) -> None:
     z = np.load(path, allow_pickle=False)
-    assert str(z["kind"]) == "receiver"
-    rx._hist = jnp.asarray(z["hist"])
-    rx._parity = jnp.asarray(z["parity"])
-    rx._carry = jnp.asarray(z["carry"])
-    rx._prev = jnp.asarray(z["prev"])
-    rx._abs_base = int(z["abs_base"])
-    rx._last_seen = z["last_seen"].copy()
+    restore_receiver(z, rx)
 
 
 def save_transmitter(path: str, tx) -> None:

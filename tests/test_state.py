@@ -138,3 +138,52 @@ def test_station_checkpoint_resume(tmp_path):
     # the answer flipped both stations' mutes identically (fvc off)
     assert (bs_full.fvc_mute, bs_full.audio_mute) == \
         (bs_b.fvc_mute, bs_b.audio_mute) == (True, False)
+
+
+def test_resilient_receiver_recovers_from_push_failure():
+    """Elastic recovery (runtime/resilient.py): the receiver 'dies'
+    mid-stream (push raises), is rebuilt from the last snapshot, and
+    the replayed stream delivers the exact reports of an uninterrupted
+    run, exactly once."""
+    from amps_tpu.runtime.resilient import ResilientReceiver
+
+    x = _stream()
+    P = SPEC.chz_spec.hop
+    blk = 4096 * P
+    blocks = [x[i:i + blk] for i in range(0, (len(x) // blk) * blk, blk)]
+
+    def make():
+        return MultichannelReceiver(SPEC, threshold=0.5)
+
+    # uninterrupted baseline
+    rx_ref = make()
+    want = []
+    for b in blocks:
+        want += rx_ref.push(b)
+
+    # failing run: the 5th push dies twice before recovery succeeds
+    res = ResilientReceiver(make, checkpoint_blocks=3)
+    calls = {"n": 0, "fail_at": 5, "fails_left": 2}
+    orig_cls_push = MultichannelReceiver.push
+
+    def flaky_push(self, b):
+        calls["n"] += 1
+        if calls["n"] == calls["fail_at"] and calls["fails_left"] > 0:
+            calls["fails_left"] -= 1
+            calls["n"] -= 1          # the retry re-counts this push
+            raise RuntimeError("injected device loss")
+        return orig_cls_push(self, b)
+
+    MultichannelReceiver.push = flaky_push
+    try:
+        got = []
+        for b in blocks:
+            got += res.push(b)
+    finally:
+        MultichannelReceiver.push = orig_cls_push
+
+    assert res.recoveries >= 1
+    assert len(got) == len(want) == 1
+    assert got[0].channel == want[0].channel
+    assert got[0].abs_symbol == want[0].abs_symbol
+    assert np.array_equal(got[0].words, want[0].words)

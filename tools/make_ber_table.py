@@ -52,7 +52,11 @@ lines += [
     "higher SNR than a 0.5-threshold correlator.",
     "",
 ]
-open("/root/repo/docs/BER.md", "w").write("\n".join(lines))
-print("written docs/BER.md")
+# preserve hand-maintained sections (CFO, fading) below the AWGN table
+marker = "## Carrier frequency offset tolerance"
+old = open("/root/repo/docs/BER.md").read()
+tail = old[old.index(marker):] if marker in old else ""
+open("/root/repo/docs/BER.md", "w").write("\n".join(lines) + tail)
+print("written docs/BER.md (tail sections preserved)")
 for s in snrs:
     print(s, curve[s])
