@@ -110,10 +110,15 @@ def main():
     # correlation/quality plane — the validated production path (decode
     # bit-parity: tests/test_bf16.py; the optimization record on this
     # chip is in tools/profile_rx*.out / profile_dec*.out)
+    # transform_bf16 at M=1024: +4% (tools/profile_rx27.out) and decode
+    # bit-exactness re-proven on chip by the 112-event soak under the
+    # flag (tools/soak_tbf16.out); at M=256 it measured -1%, so only the
+    # 1024 config adopts it
     m1024 = _throughput(MultichannelSpec(num_channels=1024,
                                          taps_per_phase=8,
                                          fold="bank", io_bf16=True,
-                                         corr_bf16=True), n)
+                                         corr_bf16=True,
+                                         transform_bf16=True), n)
     m256 = _throughput(MultichannelSpec(num_channels=256,
                                         taps_per_phase=8,
                                         fold="bank", io_bf16=True,
