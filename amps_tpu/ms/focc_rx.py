@@ -10,7 +10,7 @@ B(40) chunks)], Manchester encoded to 926 symbols.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

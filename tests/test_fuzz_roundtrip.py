@@ -7,9 +7,8 @@ flags, queue contents, and word fields."""
 import numpy as np
 import pytest
 
-from amps_tpu.codec import words as W
 from amps_tpu.codec.bch import recc_bch_encode
-from amps_tpu.ms import decode_focc_stream, decode_fvc_words, parse_focc_word
+from amps_tpu.ms import decode_focc_stream, decode_fvc_words
 from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx import recc_ms
 from amps_tpu.tx.focc import FoccStream, STREAM_BOTH
