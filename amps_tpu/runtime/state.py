@@ -28,6 +28,7 @@ def snapshot_receiver(rx) -> Dict[str, np.ndarray]:
         "prev": np.asarray(rx._prev),
         "abs_base": np.int64(rx._abs_base),
         "last_seen": rx._last_seen.copy(),
+        "prev_power": rx._prev_power.copy(),
     }
 
 
@@ -39,6 +40,8 @@ def restore_receiver(snap, rx) -> None:
     rx._prev = jnp.asarray(snap["prev"])
     rx._abs_base = int(snap["abs_base"])
     rx._last_seen = np.asarray(snap["last_seen"]).copy()
+    if "prev_power" in snap:
+        rx._prev_power = np.asarray(snap["prev_power"]).copy()
 
 
 def save_receiver(path: str, rx) -> None:

@@ -170,6 +170,14 @@ class MultichannelReceiver:
         self._prev = jnp.zeros((M, 2), jnp.float32)
         self._abs_base = -self.ovr  # demod[0]'s absolute channel-sample idx
         self._last_seen = np.full(M, -10**12, np.int64)
+        # previous block's per-channel band power: a burst cut by the
+        # block edge is deferred (completeness guard) and re-found in
+        # the NEXT block's carry, whose new samples may be idle — the
+        # rssi ghost gate must consider the block the burst actually
+        # transmitted in (found at 420-burst scale: a real registration
+        # was dropped with power 0.028 < min_rssi while its own block
+        # measured 0.79, tools/soak_long_tpu.out / /tmp/ch35 repro)
+        self._prev_power = np.zeros(M, np.float32)
         self.reports: List[BurstReport] = []
         self._tap = open(tap_demod_path, "ab") if tap_demod_path else None
         self.supervision_slots = tuple(supervision_slots)
@@ -240,9 +248,11 @@ class MultichannelReceiver:
         ok = np.asarray(dec.word_ok)
         bad = np.asarray(dec.bad_symbols)
         power = np.asarray(e["power"])
+        power_eff = np.maximum(power, self._prev_power)
+        self._prev_power = power.astype(np.float32)
         out = []
         for c in range(self.M):
-            if power[c] < self.min_rssi:
+            if power_eff[c] < self.min_rssi:
                 continue
             for k in range(starts.shape[1]):
                 if not valid[c, k]:
@@ -256,7 +266,7 @@ class MultichannelReceiver:
                 rep = BurstReport(c, abs_sample // self.sps,
                                   float(quality[c, k]),
                                   words[c, k], ok[c, k], bad[c, k],
-                                  rssi=float(power[c]))
+                                  rssi=float(power_eff[c]))
                 out.append(rep)
                 if self.on_burst:
                     self.on_burst(rep)

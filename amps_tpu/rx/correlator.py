@@ -168,9 +168,14 @@ def find_bursts(demod, sps: int, max_bursts: int = 4,
         q = carry
         idx = jnp.argmax(q, axis=-1)
         peak = jnp.take_along_axis(q, idx[..., None], axis=-1)[..., 0]
-        # mask the neighborhood so the next iteration finds the next burst
+        # mask the full capture extent forward (+ L backward) so the
+        # next iteration finds the next burst — random word data inside
+        # an active capture can correlate above threshold, and the
+        # reference's memmem search likewise resumes only after the
+        # capture (lib/recc_impl.cc:118-126)
         pos = jnp.arange(q.shape[-1])
-        mask = jnp.abs(pos - idx[..., None]) < L
+        mask = ((pos > idx[..., None] - L)
+                & (pos < idx[..., None] + L + CAPTURE_SYMBOLS * sps))
         q = jnp.where(mask, -jnp.inf, q)
         return q, (idx, peak)
 
@@ -277,7 +282,16 @@ def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
         spos_l.append(s)
         peaks_l.append(peak.astype(jnp.float32))
         if k + 1 < max_bursts:
-            mask = jnp.abs(pos - s[..., None]) < L * sps
+            # suppress the FULL capture extent forward of each accepted
+            # trigger, not just +-L: random word data inside an active
+            # burst correlates at ~0.6 often enough to re-trigger
+            # (observed at 420-burst scale, tools/soak_long_tpu.out).
+            # The reference cannot re-trigger there either — its memmem
+            # search resumes after the 3374-symbol capture
+            # (lib/recc_impl.cc:118-126).
+            mask = ((pos > s[..., None] - L * sps)
+                    & (pos < s[..., None]
+                       + (L + CAPTURE_SYMBOLS) * sps))
             q = jnp.where(mask, acc_t(-jnp.inf), q)
     spos = jnp.stack(spos_l, axis=-1)
     peaks = jnp.stack(peaks_l, axis=-1)

@@ -239,3 +239,47 @@ def test_receiver_bf16_planes_same_reports():
         assert reports[0].channel == 5
         assert reports[0].word_ok[:2].all()
         assert np.array_equal(reports[0].words[0], words[0])
+
+
+def test_rssi_gate_survives_block_edge_deferral():
+    """A burst cut by the block edge is deferred to the next block's
+    carry, whose NEW samples may be idle — the min_rssi ghost gate must
+    consider the block the burst actually transmitted in (found at
+    420-burst scale on chip: a real registration dropped with measured
+    power 0.028 vs 0.79 in its own block)."""
+    import numpy as np
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate_symbols
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+    from amps_tpu.tx import recc_ms
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    P = spec.chz_spec.hop
+    blk_hops = 16384                       # chan samples per block
+    total_hops = 3 * blk_hops
+    words = recc_ms.registration_words("2135551212", esn=0xBEEF)
+    syms = recc_ms.burst_symbols(words, dcc=0, sps=spec.chan_sps)
+    sens = 2 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+    bb, _ = fm_modulate_symbols(syms.astype(np.int8), sens)
+    bb = np.asarray(bb)
+    # place the burst so its capture is cut by a few samples at the end
+    # of block 1's window and is only complete in block 2, whose new
+    # samples are idle (power ~ 0 there)
+    cap_samples = 3374 * spec.chan_sps
+    start_hop = 2 * blk_hops - (82 * spec.chan_sps + cap_samples) + 6
+    Y = np.zeros((total_hops, 8, 2), np.float32)
+    Y[start_hop: start_hop + len(bb), 3] = bb
+    x, _ = chz.synthesize(Y, spec.chz_spec, chz.synthesizer_init(spec.chz_spec))
+    x = np.asarray(x)
+
+    rx = MultichannelReceiver(spec, threshold=0.5, min_rssi=0.05)
+    reports = []
+    for i in range(3):
+        reports += rx.push(x[i * blk_hops * P: (i + 1) * blk_hops * P])
+    assert len(reports) == 1, [(r.channel, r.abs_symbol) for r in reports]
+    assert reports[0].channel == 3
+    assert reports[0].rssi >= 0.05
+    got = np.asarray(reports[0].words)
+    for i, w in enumerate(words):
+        assert np.array_equal(got[i], np.asarray(w)), i

@@ -275,3 +275,32 @@ def test_decode_bursts_bf16_input_identical(rng):
     want_bad = np.concatenate([np.asarray(dcc_bad)[..., None],
                                np.asarray(word_bad)], axis=-1)
     assert np.array_equal(np.asarray(d_u8.bad_symbols), want_bad)
+
+
+def test_no_retrigger_inside_active_capture(rng):
+    """Random word data inside an active burst can correlate above
+    threshold; the NMS suppresses the full capture extent forward of an
+    accepted trigger (the reference's memmem search likewise resumes
+    only after the capture, lib/recc_impl.cc:118-126) — while a
+    legitimate later burst is still found."""
+    words = recc_ms.page_response_words("5551234567")
+    sps = 1
+    s1 = _burst_in_stream(words, sps, lead=300, tail=60)
+    # plant a fake trigger template INSIDE burst 1's capture region
+    tmpl = correlator.trigger_template(sps)
+    fake = s1.copy().astype(np.float32)
+    fake[300 + 82 + 1200: 300 + 82 + 1200 + len(tmpl)] = tmpl * 0.9
+    s2 = _burst_in_stream(words, sps, lead=200, tail=300)
+    stream = np.concatenate([fake, s2.astype(np.float32)])
+    starts, valid, q = correlator.find_bursts(stream, sps, max_bursts=4,
+                                              threshold=0.6)
+    starts, valid = np.asarray(starts), np.asarray(valid)
+    got = sorted(starts[valid])
+    assert len(got) == 2, (got, np.asarray(q))
+    assert got[0] == 300 + 82
+    assert got[1] == len(fake) + 200 + 82
+    # same discipline on the symbol-domain detector
+    phases = correlator.symbol_phase_streams(stream, sps)
+    st2, v2, q2 = correlator.find_bursts_phases(phases, sps, 4, 0.6)
+    got2 = sorted(np.asarray(st2)[np.asarray(v2)])
+    assert list(got) == [int(g) for g in got2]
