@@ -32,6 +32,15 @@ from amps_tpu.dsp.fm import (fsk_manchester_baseband,
 from amps_tpu.parallel.pipeline import MultichannelSpec
 from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx.focc import FoccStream, focc_frame_bits
+from amps_tpu.tx.recc_ms import CODED_DCC
+
+# minimum-Hamming-distance decode of the 7-bit coded DCC (553 2.6.1.2)
+_DCC_CODES = np.array([CODED_DCC[d] for d in range(4)], np.int32)
+
+
+def decode_dcc(bits7) -> int:
+    b = np.asarray(bits7, np.int32).reshape(1, 7)
+    return int(np.argmin(np.abs(_DCC_CODES - b).sum(axis=1)))
 
 
 @functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
@@ -103,6 +112,8 @@ class BurstReport:
     word_ok: np.ndarray      # (7,)
     bad_symbols: np.ndarray  # (8,)
     rssi: float = 0.0        # mean channel band power over the block
+    dcc: int = -1            # decoded digital color code (the reference
+                             # prints it, lib/recc_decode_impl.cc:98)
 
 
 class MultichannelReceiver:
@@ -247,6 +258,7 @@ class MultichannelReceiver:
         words = np.asarray(dec.words)
         ok = np.asarray(dec.word_ok)
         bad = np.asarray(dec.bad_symbols)
+        dccs = np.asarray(dec.dcc_bits)          # (C, K, 7) coded DCC bits
         power = np.asarray(e["power"])
         power_eff = np.maximum(power, self._prev_power)
         self._prev_power = power.astype(np.float32)
@@ -266,7 +278,8 @@ class MultichannelReceiver:
                 rep = BurstReport(c, abs_sample // self.sps,
                                   float(quality[c, k]),
                                   words[c, k], ok[c, k], bad[c, k],
-                                  rssi=float(power_eff[c]))
+                                  rssi=float(power_eff[c]),
+                                  dcc=decode_dcc(dccs[c, k]))
                 out.append(rep)
                 if self.on_burst:
                     self.on_burst(rep)

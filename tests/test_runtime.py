@@ -280,6 +280,7 @@ def test_rssi_gate_survives_block_edge_deferral():
     assert len(reports) == 1, [(r.channel, r.abs_symbol) for r in reports]
     assert reports[0].channel == 3
     assert reports[0].rssi >= 0.05
+    assert reports[0].dcc == 0               # decoded coded-DCC (553 2.6.1.2)
     got = np.asarray(reports[0].words)
     for i, w in enumerate(words):
         assert np.array_equal(got[i], np.asarray(w)), i
