@@ -28,6 +28,13 @@ class SystemConfig:
     regincr: int = 100         # registration-increment (lib/focc_impl.cc:428)
     fvc_alert_repeats: int = 35  # "timerhack" bursts before auto fvc-off
                                  # (lib/recc_decode_impl.cc:215)
+    recc_max_bad_symbols: int = 90  # per-word Manchester bad-pair gate in
+                                 # handle_burst: random data that aliases
+                                 # through BCH averages ~120/240 bad pairs,
+                                 # real bursts ~0 (tens at the detection
+                                 # cliff); the reference prints the counts
+                                 # (lib/recc_decode_impl.cc:98) but never
+                                 # gates on them
     page_repeats: int = 2        # superframes a page is repeated over, so
                                  # a mobile deferring during a busy-marked
                                  # superframe still hears one (553 §3.1.1;

@@ -108,13 +108,24 @@ class BaseStation:
 
     # -- RECC burst dispatch (lib/recc_decode_impl.cc:81-168) --------------
 
-    def handle_burst(self, words, word_ok) -> None:
+    def handle_burst(self, words, word_ok, bad_symbols=None) -> None:
         """Dispatch one decoded RECC burst.
 
-        words: (7, 36) uint8 corrected bits; word_ok: (7,) bool.
+        words: (7, 36) uint8 corrected bits; word_ok: (7,) bool;
+        bad_symbols: optional (8,) Manchester bad-pair counts (DCC +
+        7 words, BurstReport.bad_symbols) — BCH-aliased noise captures
+        average ~120/240 bad pairs per word where real bursts are ~0,
+        so words A/B above SystemConfig.recc_max_bad_symbols drop the
+        burst before any call-control action.
         """
         words = np.asarray(words)
         ok = np.asarray(word_ok)
+        if bad_symbols is not None:
+            bad = np.asarray(bad_symbols)
+            if bad[1:3].max() > self.system.recc_max_bad_symbols:
+                self._debug(f"dropping noise burst (bad symbol counts "
+                            f"{bad[1:3].tolist()})")
+                return
         # a seizure happened: mark the RECC busy for one superframe so
         # other mobiles defer while this response is pending (553 §3.1.1;
         # FoccStream.mark_busy documents the granularity)

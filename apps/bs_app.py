@@ -86,7 +86,7 @@ def main(argv=None):
     def on_burst(rep):
         print(f"[rx] burst ch={rep.channel} q={rep.quality:.2f} "
               f"ok={int(rep.word_ok.sum())}/7")
-        station.handle_burst(rep.words, rep.word_ok)
+        station.handle_burst(rep.words, rep.word_ok, rep.bad_symbols)
 
     slot_map = {}
     for pair in filter(None, args.voice_slot_map.split(",")):

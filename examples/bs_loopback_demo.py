@@ -45,7 +45,7 @@ def main():
     def on_burst(rep):
         print(f"[rx] burst on channel {rep.channel} "
               f"q={rep.quality:.2f} words_ok={rep.word_ok.tolist()}")
-        station.handle_burst(rep.words, rep.word_ok)
+        station.handle_burst(rep.words, rep.word_ok, rep.bad_symbols)
 
     rx = MultichannelReceiver(spec, on_burst=on_burst, threshold=0.5)
 

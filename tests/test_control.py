@@ -249,3 +249,25 @@ def test_handoff_moves_call():
     bs.handle_command("handoff 356 355")
     assert 356 not in bs.supervisors and bs.supervisors[355].state == \
         "conversation"
+
+
+def test_noise_burst_gate():
+    """A BCH-aliased noise capture (high Manchester bad counts) is
+    dropped before call control; a clean burst with the same words is
+    dispatched."""
+    from amps_tpu.tx import recc_ms
+
+    bs = BaseStation()
+    words = recc_ms.page_response_words("5551234567")
+    arr = np.zeros((7, 36), np.uint8)
+    ok = np.zeros(7, bool)
+    for i, w in enumerate(words):
+        arr[i] = w
+        ok[i] = True
+    noisy_bad = np.array([3, 118, 121, 0, 0, 0, 0, 0], np.int32)
+    bs.handle_burst(arr, ok, bad_symbols=noisy_bad)
+    assert not bs.supervisors                    # dropped
+    assert any("noise burst" in str(e.payload) for e in bs.events)
+    clean_bad = np.zeros(8, np.int32)
+    bs.handle_burst(arr, ok, bad_symbols=clean_bad)
+    assert 355 in bs.supervisors                 # dispatched
