@@ -6,16 +6,18 @@ the flowgraph down).  Here the receiver's carried state is explicit
 
 * every ``checkpoint_blocks`` pushes, snapshot the carried state on the
   host and drop the replay ring;
-* if a push raises (device lost/preempted/wedged, XLA runtime error),
-  build a FRESH receiver via the factory (new device buffers and
-  executables), restore the snapshot, replay the retained blocks, and
-  continue — the resumed stream is bit-identical to an uninterrupted
-  one (same guarantee tests/test_state.py pins for checkpoint/resume);
+* if the receiver's push raises (device lost/preempted/wedged, XLA
+  runtime error), build a FRESH receiver via the factory (new device
+  buffers and executables), restore the snapshot, replay the retained
+  blocks, and continue — the resumed stream is bit-identical to an
+  uninterrupted one (same guarantee tests/test_state.py pins for
+  checkpoint/resume);
 * burst callbacks are delivered exactly once across replays (reports
-  are deduplicated by (channel, absolute symbol index)).
+  are deduplicated by (channel, absolute symbol index)); callback
+  exceptions propagate to the caller and never trigger a rebuild.
 
-The caller keeps feeding blocks; only an error that persists through
-``max_retries`` rebuilds is re-raised.
+The caller keeps feeding blocks; only a receiver error that persists
+through ``max_retries`` rebuilds is re-raised.
 """
 
 from __future__ import annotations
@@ -30,9 +32,9 @@ from amps_tpu.runtime.streamer import BurstReport
 
 class ResilientReceiver:
     """Elastic wrapper: ``make_receiver`` is a zero-argument factory
-    returning a fresh MultichannelReceiver (configure it WITHOUT an
+    returning a fresh MultichannelReceiver configured WITHOUT an
     on_burst callback — reports flow through this wrapper's return
-    values / ``on_burst`` so replay deduplication can apply)."""
+    values / ``on_burst`` so replay deduplication can apply."""
 
     def __init__(self, make_receiver: Callable[[], object],
                  checkpoint_blocks: int = 4, max_retries: int = 2,
@@ -44,6 +46,10 @@ class ResilientReceiver:
         # flight, which a snapshot cannot represent
         assert getattr(self.rx, "depth", 1) == 1, \
             "ResilientReceiver requires pipeline_depth=1"
+        # a callback on the inner receiver would bypass replay dedup
+        # (duplicate call-control actions after a recovery)
+        assert getattr(self.rx, "on_burst", None) is None, \
+            "configure on_burst on ResilientReceiver, not the factory"
         self.checkpoint_blocks = max(1, checkpoint_blocks)
         self.max_retries = max_retries
         self.on_burst = on_burst
@@ -52,7 +58,8 @@ class ResilientReceiver:
         self._delivered = set()          # (channel, abs_symbol)
         self.recoveries = 0
 
-    # -- delivery ------------------------------------------------------------
+    # -- delivery (outside the retry loop: a callback exception must
+    # -- surface to the caller, not masquerade as a device failure) ---------
 
     def _deliver(self, reports) -> List[BurstReport]:
         out = []
@@ -68,15 +75,16 @@ class ResilientReceiver:
 
     # -- recovery ------------------------------------------------------------
 
-    def _recover_and_replay(self) -> List[BurstReport]:
-        """Fresh receiver + snapshot restore + ring replay."""
+    def _recover_and_replay_raw(self) -> List[BurstReport]:
+        """Fresh receiver + snapshot restore + ring replay (raw reports;
+        dedup happens at delivery)."""
         self.recoveries += 1
         self.rx = self._make()
         restore_receiver(self._snap, self.rx)
-        out: List[BurstReport] = []
+        raw: List[BurstReport] = []
         for blk in self._ring:
-            out += self._deliver(self.rx.push(blk))
-        return out
+            raw += self.rx.push(blk)
+        return raw
 
     # -- public API ------------------------------------------------------------
 
@@ -85,18 +93,23 @@ class ResilientReceiver:
         self._ring.append(block)
         for attempt in range(self.max_retries + 1):
             try:
-                if attempt == 0:
-                    out = self._deliver(self.rx.push(block))
-                else:
-                    out = self._recover_and_replay()
+                raw = (self.rx.push(block) if attempt == 0
+                       else self._recover_and_replay_raw())
             except Exception:
                 if attempt == self.max_retries:
                     raise
                 continue
             break
+        out = self._deliver(raw)
         if len(self._ring) >= self.checkpoint_blocks:
             self._snap = snapshot_receiver(self.rx)
             self._ring.clear()
+            # replay can only start at this snapshot now, so dedup keys
+            # older than it can never recur — prune (the set would
+            # otherwise grow one entry per burst forever)
+            floor = int(self._snap["abs_base"]) // self.rx.sps \
+                - (len(self._snap["carry"][0]) // self.rx.sps)
+            self._delivered = {k for k in self._delivered if k[1] >= floor}
         return out
 
     def flush(self) -> List[BurstReport]:

@@ -96,10 +96,12 @@ def load_transmitter(path: str, tx) -> None:
                 st._queue.append(pair.copy())
             st._busy_superframes = (int(z[f"busy_{k}"])
                                     if f"busy_{k}" in z else 0)
-            if f"deferred_{k}" in z:
-                st._deferred = [
-                    (int(n), pair.copy()) for n, pair in
-                    zip(z[f"deferred_n_{k}"], z[f"deferred_{k}"])]
+            # same missing-key policy as busy: an old checkpoint means
+            # "no deferred repeats", never "keep whatever was there"
+            st._deferred = ([
+                (int(n), pair.copy()) for n, pair in
+                zip(z[f"deferred_n_{k}"], z[f"deferred_{k}"])]
+                if f"deferred_{k}" in z else [])
 
 
 _SUP_STATES = ("idle", "alerting", "conversation", "released")
@@ -160,10 +162,10 @@ def load_station(path: str, bs) -> None:
             bs.focc._queue.append(pair.copy())
         bs.focc._busy_superframes = int(z["focc_busy"]) \
             if "focc_busy" in z else 0
-        if "focc_deferred" in z:
-            bs.focc._deferred = [
-                (int(n), pair.copy()) for n, pair in
-                zip(z["focc_deferred_n"], z["focc_deferred"])]
+        bs.focc._deferred = ([
+            (int(n), pair.copy()) for n, pair in
+            zip(z["focc_deferred_n"], z["focc_deferred"])]
+            if "focc_deferred" in z else [])
     with bs.fvc._lock:
         bs.fvc._burst = (z["fvc_burst"].copy() if bool(z["fvc_has_burst"])
                          else None)

@@ -236,11 +236,11 @@ class MultichannelReceiver:
             from amps_tpu.rx.voice import supervision_levels
             fs = float(self.spec.pipe.chan_rate)
             frame = int(fs * 0.01)                       # 10 ms frames
+            # e["demod"] is demod_new: NEW samples only, contiguous
+            # and non-overlapping across blocks (the debug tap writes it
+            # back to back) — measure all of it
             dem = jnp.asarray(e["demod"])[
                 np.asarray(self.supervision_slots, np.int32)]
-            # skip the carried overlap head: those samples were already
-            # measured as the tail of the previous block
-            dem = dem[:, self.ovr:] if dem.shape[-1] > self.ovr else dem
             if dem.shape[-1] >= frame:
                 # deviation-normalize so tone amplitudes come out in the
                 # TX units SupervisionConfig's nominals are stated in
@@ -260,14 +260,20 @@ class MultichannelReceiver:
         bad = np.asarray(dec.bad_symbols)
         dccs = np.asarray(dec.dcc_bits)          # (C, K, 7) coded DCC bits
         power = np.asarray(e["power"])
-        power_eff = np.maximum(power, self._prev_power)
+        prev_power = self._prev_power
         self._prev_power = power.astype(np.float32)
         out = []
         for c in range(self.M):
-            if power_eff[c] < self.min_rssi:
-                continue
             for k in range(starts.shape[1]):
                 if not valid[c, k]:
+                    continue
+                # a burst starting in the carry region transmitted in
+                # the PREVIOUS block — judge its rssi there; bursts in
+                # fresh samples keep this block's strict gate (else a
+                # loud previous block would let ghosts through)
+                in_carry = int(starts[c, k]) < self.ovr
+                rssi = float(max(power[c], prev_power[c])) if in_carry                     else float(power[c])
+                if rssi < self.min_rssi:
                     continue
                 abs_sample = e["abs_base"] + int(starts[c, k])
                 # dedup: same burst found again in the overlap region
@@ -278,7 +284,7 @@ class MultichannelReceiver:
                 rep = BurstReport(c, abs_sample // self.sps,
                                   float(quality[c, k]),
                                   words[c, k], ok[c, k], bad[c, k],
-                                  rssi=float(power_eff[c]),
+                                  rssi=rssi,
                                   dcc=decode_dcc(dccs[c, k]))
                 out.append(rep)
                 if self.on_burst:

@@ -284,3 +284,38 @@ def test_rssi_gate_survives_block_edge_deferral():
     got = np.asarray(reports[0].words)
     for i, w in enumerate(words):
         assert np.array_equal(got[i], np.asarray(w)), i
+
+
+def test_rssi_gate_strict_for_fresh_samples():
+    """The previous block's power only vouches for bursts STARTING in
+    the carry region: a weak (ghost-level) burst in the next block's
+    fresh samples is still dropped even right after a loud block."""
+    import numpy as np
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate_symbols
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+    from amps_tpu.tx import recc_ms
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    P = spec.chz_spec.hop
+    blk_hops = 16384
+    total_hops = 3 * blk_hops
+    words = recc_ms.page_response_words("5551234567")
+    syms = recc_ms.burst_symbols(words, dcc=0, sps=spec.chan_sps)
+    sens = 2 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+    bb, _ = fm_modulate_symbols(syms.astype(np.int8), sens)
+    bb = np.asarray(bb)
+    Y = np.zeros((total_hops, 8, 2), np.float32)
+    Y[500: 500 + len(bb), 3] = bb                      # loud, block 1
+    Y[17000: 17000 + len(bb), 3] = 0.01 * bb           # ghost-level, blk 2
+    x, _ = chz.synthesize(Y, spec.chz_spec, chz.synthesizer_init(spec.chz_spec))
+    x = np.asarray(x)
+
+    rx = MultichannelReceiver(spec, threshold=0.5, min_rssi=0.05)
+    reports = []
+    for i in range(3):
+        reports += rx.push(x[i * blk_hops * P: (i + 1) * blk_hops * P])
+    # only the loud burst reports; FM amplitude-invariance decodes the
+    # weak one identically but the power gate rejects it
+    assert [r.abs_symbol < 6000 for r in reports if r.channel == 3] == [True]
