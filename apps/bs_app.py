@@ -48,6 +48,12 @@ def build_parser():
                    help="AMPS_chan:bank_slot pairs for RVC supervision, "
                         "e.g. '355:4,356:5' — SAT/ST on those slots is "
                         "measured per block and drives call supervision")
+    p.add_argument("--min-rssi", type=float, default=0.02,
+                   help="per-channel band-power gate: FM capture of a "
+                        "strong neighbor's leakage decodes cleanly on an "
+                        "idle channel but at 20+ dB lower power; 0 "
+                        "disables (observed on chip: adjacent-channel "
+                        "ghosts double-dispatched an origination)")
     p.add_argument("--no-server", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu/axon)")
@@ -97,7 +103,7 @@ def main(argv=None):
         station.push_supervision(slot_map[slot], levels, power)
 
     rx = MultichannelReceiver(spec, on_burst=on_burst, threshold=0.5,
-                              pipeline_depth=2,
+                              pipeline_depth=2, min_rssi=args.min_rssi,
                               supervision_slots=tuple(slot_map),
                               on_supervision=(on_supervision
                                               if slot_map else None))
