@@ -126,20 +126,22 @@ class SimMobile:
         p = fields.FvcVoiceChannel.parse(w)
         if p.is_order:
             order = int("".join(str(int(b)) for b in np.asarray(w)[23:28]), 2)
-            if order == _ALERT_ORDER and self.state in (CONVERSATION,
-                                                        RINGING):
+            if order == _ALERT_ORDER and self.state == CONVERSATION:
+                # repeats of the same alert burst are one order
                 self.state = RINGING
                 self.log.append("ringing")
-            elif order == _RELEASE_ORDER:
+            elif order == _RELEASE_ORDER and self.state != RELEASED:
                 self.log.append("released_by_station")
                 self._st_release_frames = int(1.9 / FRAME_S)
                 self.state = RELEASED
         else:
             # handoff designation: confirm with 50 ms ST, retune,
-            # transpond the (possibly new) SAT (553 §2.4.8)
-            self.log.append(f"handoff {self.voice_chan}->{p.CHAN}")
-            self.voice_chan = p.CHAN
-            self.sat_scc = p.SCC
+            # transpond the (possibly new) SAT (553 §2.4.8); repeats of
+            # the same designation are one order
+            if p.CHAN != self.voice_chan:
+                self.log.append(f"handoff {self.voice_chan}->{p.CHAN}")
+                self.voice_chan = p.CHAN
+                self.sat_scc = p.SCC
 
     # -- user actions ---------------------------------------------------------
 
