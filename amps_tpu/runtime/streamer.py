@@ -251,15 +251,17 @@ class MultichannelReceiver:
                 if self.on_supervision:
                     for i, slot in enumerate(self.supervision_slots):
                         self.on_supervision(slot, lv[i], pw[i])
-        starts = np.asarray(e["starts"])
-        valid = np.asarray(e["valid"])
-        quality = np.asarray(e["quality"])
         dec = e["dec"]
-        words = np.asarray(dec.words)
-        ok = np.asarray(dec.word_ok)
-        bad = np.asarray(dec.bad_symbols)
-        dccs = np.asarray(dec.dcc_bits)          # (C, K, 7) coded DCC bits
-        power = np.asarray(e["power"])
+        # ONE batched host fetch for the whole drain: sequential
+        # np.asarray calls cost one device round trip EACH (~8 RTTs per
+        # block — measured 285 ms/block on this tunnel vs ~35 with the
+        # batched get, tools/stream_rate_tpu.out); on local links it
+        # still collapses 8 syncs into 1
+        (starts, valid, quality, words, ok, bad, dccs, power) = \
+            jax.device_get((e["starts"], e["valid"], e["quality"],
+                            dec.words, dec.word_ok, dec.bad_symbols,
+                            dec.dcc_bits, e["power"]))
+        quality = np.asarray(quality, np.float32)
         prev_power = self._prev_power
         self._prev_power = power.astype(np.float32)
         out = []
