@@ -79,11 +79,16 @@ def main():
     print(f"[station] FOCC queue depth: {station.focc.queue_depth()} "
           f"(voice assignment + page words await the next superframe)")
 
-    # next superframe carries the response
-    rf2 = np.asarray(tx.next_block())
+    # next superframe carries the response; the page is REPEATED over
+    # SystemConfig.page_repeats superframes (so a mobile deferring
+    # during a busy-marked superframe still hears one), so the queue
+    # drains over that many blocks
+    for k in range(station.system.page_repeats):
+        rf2 = np.asarray(tx.next_block())
+        print(f"[tx] superframe {k + 1} sent ({rf2.shape[0]} samples); "
+              f"queue depth now {station.focc.queue_depth()}")
     assert station.focc.queue_depth() == 0
-    print(f"[tx] next superframe sent ({rf2.shape[0]} samples) — "
-          f"assignment delivered")
+    print("[tx] assignment and repeated page delivered")
 
 
 if __name__ == "__main__":
