@@ -73,7 +73,11 @@ def fvc_word1_voice_channel(scc, pscc, vmac, chan):
     """FVC Word 1, VMAC/CHAN handoff designation (extension: the
     reference has no handoff — its calls never move or end).
 
-    Mirrors the reference's two established conventions: SCC==11 marks
+    EXPERIMENTAL LAYOUT — not verified against TIA-553 §3.7.2 text
+    (unavailable in this environment) and excluded from parity claims
+    (docs/PARITY.md).  Our MS simulator decodes it, but that is
+    circular validation: interoperability with real 553 mobiles is NOT
+    established.  Mirrors the reference's two established conventions: SCC==11 marks
     the order variant (fvc_word1_general's constant header,
     lib/amps_packet.cc:55), so SCC!=11 here carries a channel
     designation with the new channel's SAT color code; the VMAC/CHAN

@@ -260,17 +260,27 @@ class BaseStation:
         to ``new_chan`` (extension — the reference cannot move or even
         end calls).
 
-        Sends the VMAC/CHAN voice-channel designation on the old
-        channel's FVC (blank-and-burst, reusing the alert timer so the
-        burst self-terminates); per 553 §2.4.8 the mobile confirms with
+        Sends the VMAC/CHAN voice-channel designation on the station's
+        FVC (blank-and-burst, reusing the alert timer so the burst
+        self-terminates); per 553 §2.4.8 the mobile confirms with
         a 50 ms ST burst, retunes, and transponds SAT on the new
         channel, where supervision resumes in the same call state (the
         5 s fade timeout comfortably covers the retune gap).
+
+        The station has ONE shared FVC data stream (like the reference's
+        single fvc block), so the designation would be heard by every
+        mobile on whichever channel carries it: handoff is refused while
+        any OTHER call is active.  Per-voice-channel FVC streams (keyed
+        like MultichannelTransmitter sources) would lift this.
         """
         if new_chan == old_chan or new_chan in self.supervisors:
             # never clobber another live call's supervisor (it would be
             # silently dropped without a release on its channel)
             self._debug(f"handoff: target channel {new_chan} not free\n")
+            return False
+        if any(c != old_chan for c in self.supervisors):
+            self._debug("handoff: refused, other calls active and the "
+                        "FVC stream is shared\n")
             return False
         sup = self.supervisors.pop(old_chan, None)
         if sup is None or sup.state not in (ALERTING, CONVERSATION):
@@ -288,8 +298,16 @@ class BaseStation:
         return True
 
     def release_call(self, chan: int, reason: str = "") -> None:
-        """Send the FVC release order and tear the channel down."""
+        """Send the FVC release order and tear the channel down.
+
+        Shared-FVC caveat (see handoff): with multiple concurrent calls
+        the release order rides the one FVC stream and may be heard on
+        another call's channel; the supervisor teardown itself is
+        always channel-exact."""
         sup = self.supervisors.pop(chan, None)
+        if any(c != chan for c in self.supervisors):
+            self._debug("release: other calls active; shared-FVC order "
+                        "may be heard on their channels\n")
         self._debug(f"releasing channel {chan}: {reason}\n")
         rel = W.fvc_word1_general(self.system.scc, 0, 0, RELEASE_ORDER)
         # the FVC timer mechanism self-emits 'fvc off' after the order

@@ -62,10 +62,19 @@ def decode_fvc_words(symbols, sps: int = 1,
                     if h + len(WORD_SYNC) + _WORD_BITS <= len(bits)]
             if len(hits) < min_repeats:
                 continue
-            # cluster hits by gap: each cluster is one word's repeats
+            # cluster hits by gap: each cluster is one word's repeats.
+            # A missed sync inside a burst leaves a gap of k*88; keep
+            # such same-phase hits in one cluster (a flat gap threshold
+            # would split the word's repeats into two under-voted
+            # halves).  Cross-word/wrap jumps are 152+k*88 ≡ 64 (mod 88)
+            # so they can never be misclassified as same-word periods.
             clusters: List[List[int]] = [[hits[0]]]
             for h in hits[1:]:
-                if h - clusters[-1][-1] > _CLUSTER_GAP:
+                gap = h - clusters[-1][-1]
+                same_word = (gap <= _CLUSTER_GAP
+                             or (gap % _HIT_PERIOD == 0
+                                 and gap <= (_REPEATS - 1) * _HIT_PERIOD))
+                if not same_word:
                     clusters.append([])
                 clusters[-1].append(h)
             words = []

@@ -97,6 +97,11 @@ class ResilientReceiver:
                        else self._recover_and_replay_raw())
             except Exception:
                 if attempt == self.max_retries:
+                    # the block never succeeded: drop it from the ring so
+                    # a caller that catches and re-pushes the same block
+                    # doesn't double-append it (a later recovery would
+                    # then replay it twice, breaking exactly-once)
+                    self._ring.pop()
                     raise
                 continue
             break

@@ -29,6 +29,8 @@ def snapshot_receiver(rx) -> Dict[str, np.ndarray]:
         "abs_base": np.int64(rx._abs_base),
         "last_seen": rx._last_seen.copy(),
         "prev_power": rx._prev_power.copy(),
+        "sup_carry": (rx._sup_carry.copy() if rx._sup_carry is not None
+                      else np.zeros((0, 0), np.float32)),
     }
 
 
@@ -42,6 +44,10 @@ def restore_receiver(snap, rx) -> None:
     rx._last_seen = np.asarray(snap["last_seen"]).copy()
     if "prev_power" in snap:
         rx._prev_power = np.asarray(snap["prev_power"]).copy()
+    if "sup_carry" in snap and rx._sup_carry is not None:
+        sc = np.asarray(snap["sup_carry"], np.float32)
+        if sc.shape[0] == rx._sup_carry.shape[0]:
+            rx._sup_carry = sc.copy()
 
 
 def save_receiver(path: str, rx) -> None:

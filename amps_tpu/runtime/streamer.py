@@ -193,6 +193,14 @@ class MultichannelReceiver:
         self._tap = open(tap_demod_path, "ab") if tap_demod_path else None
         self.supervision_slots = tuple(supervision_slots)
         self.on_supervision = on_supervision
+        # leftover demod samples (< one 10 ms frame) from the previous
+        # block's supervision measurement: carried so supervision frames
+        # are continuous across block boundaries (without it every block
+        # drops n % frame_len samples and SAT/ST fade timers accrue ~5%
+        # slower than wall time at typical block sizes)
+        self._sup_carry = (np.zeros((len(self.supervision_slots), 0),
+                                    np.float32)
+                           if self.supervision_slots else None)
         self.depth = max(1, pipeline_depth)
         self._inflight: List[dict] = []
 
@@ -238,15 +246,19 @@ class MultichannelReceiver:
             frame = int(fs * 0.01)                       # 10 ms frames
             # e["demod"] is demod_new: NEW samples only, contiguous
             # and non-overlapping across blocks (the debug tap writes it
-            # back to back) — measure all of it
-            dem = jnp.asarray(e["demod"])[
+            # back to back) — prepend the previous block's sub-frame
+            # leftover so measurement frames are continuous across blocks
+            dem = np.asarray(e["demod"], np.float32)[
                 np.asarray(self.supervision_slots, np.int32)]
-            if dem.shape[-1] >= frame:
+            dem = np.concatenate([self._sup_carry, dem], axis=-1)
+            nf = dem.shape[-1] // frame
+            self._sup_carry = dem[:, nf * frame:]
+            if nf >= 1:
                 # deviation-normalize so tone amplitudes come out in the
                 # TX units SupervisionConfig's nominals are stated in
                 sens = 2.0 * np.pi * self.spec.pipe.deviation_hz / fs
                 lv, pw = supervision_levels(
-                    dem.astype(jnp.float32) / sens, frame, fs)
+                    jnp.asarray(dem[:, : nf * frame]) / sens, frame, fs)
                 lv, pw = np.asarray(lv), np.asarray(pw)
                 if self.on_supervision:
                     for i, slot in enumerate(self.supervision_slots):
@@ -274,7 +286,10 @@ class MultichannelReceiver:
                 # fresh samples keep this block's strict gate (else a
                 # loud previous block would let ghosts through)
                 in_carry = int(starts[c, k]) < self.ovr
-                rssi = float(max(power[c], prev_power[c])) if in_carry                     else float(power[c])
+                if in_carry:
+                    rssi = float(max(power[c], prev_power[c]))
+                else:
+                    rssi = float(power[c])
                 if rssi < self.min_rssi:
                     continue
                 abs_sample = e["abs_base"] + int(starts[c, k])

@@ -226,3 +226,26 @@ def test_fvc_decode_odd_parity_and_multiword():
     assert len(got_odd) == 2
     assert np.array_equal(got_odd[0], alert)
     assert np.array_equal(got_odd[1], release)
+
+
+def test_fvc_decode_survives_missing_sync_hit():
+    """A single corrupted word-sync inside a burst (gap 2x88 between
+    hits) must NOT split the word's repeats into two separately-voted
+    clusters: same-phase (mod 88) hits merge, so the word decodes
+    exactly once (ADVICE r1: a 5/5 split either double-emits the word
+    or drops both halves below the vote threshold)."""
+    from amps_tpu.codec import words as W
+    from amps_tpu.ms import decode_fvc_words
+    from amps_tpu.tx.fvc import FvcStream
+
+    word = np.asarray(W.fvc_word1_general(1, 0, 0, 1))
+    fvc = FvcStream(sps=1)
+    fvc.set_words(word)
+    blk = fvc.next_block(2200).astype(np.float32)
+    # invert the 6th word-sync's 22 Manchester symbols: 10 hits, one
+    # 176-bit gap splitting them 5/5
+    s6 = 101 + 5 * (11 + 40 + 37)
+    blk[2 * s6: 2 * (s6 + 11)] *= -1
+    got = decode_fvc_words(blk, sps=1, min_repeats=5)
+    assert len(got) == 1, [g.tolist() for g in got]
+    assert np.array_equal(got[0], word)

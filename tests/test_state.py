@@ -2,6 +2,7 @@
 burst reports as an uninterrupted one."""
 
 import numpy as np
+import pytest
 
 from amps_tpu.parallel.pipeline import MultichannelSpec
 from amps_tpu.runtime.state import (load_receiver, load_transmitter,
@@ -187,3 +188,32 @@ def test_resilient_receiver_recovers_from_push_failure():
     assert got[0].channel == want[0].channel
     assert got[0].abs_symbol == want[0].abs_symbol
     assert np.array_equal(got[0].words, want[0].words)
+
+
+def test_resilient_final_failure_leaves_ring_clean():
+    """If every retry fails, the failed block is popped from the replay
+    ring before re-raising: a caller that catches and re-pushes the
+    same block must not double-append it (a later recovery would then
+    replay it twice, breaking exactly-once delivery)."""
+    from amps_tpu.runtime.resilient import ResilientReceiver
+
+    class Boom(Exception):
+        pass
+
+    class FakeRx:
+        depth, on_burst, sps = 1, None, 3
+        _hist = np.zeros((4, 2)); _parity = 0
+        _carry = np.zeros((2, 6)); _prev = np.zeros((2, 2))
+        _abs_base = 0; _last_seen = np.zeros(2, np.int64)
+        _prev_power = np.zeros(2, np.float32); _sup_carry = None
+
+        def push(self, blk):
+            raise Boom()
+
+        def flush(self):
+            return []
+
+    rr = ResilientReceiver(lambda: FakeRx(), max_retries=1)
+    with pytest.raises(Boom):
+        rr.push(np.zeros((8, 2), np.float32))
+    assert rr._ring == []
