@@ -57,6 +57,46 @@ def halo_exchange_left(x, n: int, axis_name, sample_axis: int = 0):
     return lax.concatenate([halo, x], dimension=sample_axis)
 
 
+def halo_exchange_left_carry(x, n: int, axis_name, carry,
+                             sample_axis: int = 0):
+    """Streaming halo: like ``halo_exchange_left`` but shard 0 receives
+    ``carry`` (the previous BLOCK's global tail, replicated) instead of
+    zeros — successive sharded blocks then form one continuous stream
+    (the shard_map mirror of the single-device streamer's carried
+    history, runtime/streamer.py)."""
+    size = _axis_size(axis_name)
+    carry = jnp.asarray(carry, x.dtype)
+    if size == 1:
+        return lax.concatenate([carry, x], dimension=sample_axis)
+    tail = lax.slice_in_dim(x, x.shape[sample_axis] - n,
+                            x.shape[sample_axis], axis=sample_axis)
+    perm = [(i, i + 1) for i in range(size - 1)]
+    halo = lax.ppermute(tail, axis_name, perm)
+    idx = _axis_index(axis_name)
+    halo = jnp.where(idx == 0, carry, halo)
+    return lax.concatenate([halo, x], dimension=sample_axis)
+
+
+def overlap_add_with_carry(x, tail, axis_name, carry, sample_axis: int = 0):
+    """Streaming overlap-add: like ``add_tail_to_right`` but shard 0
+    adds ``carry`` (the previous block's final tail) onto its head, and
+    the caller is expected to emit the LAST shard's ``tail`` as the next
+    block's carry (this function, like add_tail_to_right, drops it)."""
+    size = _axis_size(axis_name)
+    n = tail.shape[sample_axis]
+    carry = jnp.asarray(carry, x.dtype)
+    if size == 1:
+        recv = carry
+    else:
+        perm = [(i, i + 1) for i in range(size - 1)]
+        recv = lax.ppermute(tail, axis_name, perm)
+        idx = _axis_index(axis_name)
+        recv = jnp.where(idx == 0, carry, recv)
+    head = lax.slice_in_dim(x, 0, n, axis=sample_axis) + recv
+    rest = lax.slice_in_dim(x, n, x.shape[sample_axis], axis=sample_axis)
+    return lax.concatenate([head, rest], dimension=sample_axis)
+
+
 def add_tail_to_right(x, tail, axis_name, sample_axis: int = 0):
     """Overlap-add across shards: each shard's ``tail`` (the carry of a
     streaming overlap-add, e.g. the synthesis channelizer's last L-P

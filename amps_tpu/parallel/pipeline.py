@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import numpy as np
 import jax
@@ -37,7 +38,8 @@ from jax import shard_map
 from amps_tpu.config import PipelineConfig
 from amps_tpu.dsp import channelizer as chz
 from amps_tpu.dsp.fm import fsk_manchester_baseband, quadrature_demod_planar
-from amps_tpu.parallel.halo import halo_exchange_left, add_tail_to_right
+from amps_tpu.parallel.halo import (halo_exchange_left_carry,
+                                    overlap_add_with_carry)
 from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx.focc import focc_frame_bits
 
@@ -177,113 +179,285 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
 # ---------------------------------------------------------------------------
 # sharded pipeline (shard_map over ('time', 'chan'))
 # ---------------------------------------------------------------------------
+#
+# Layout: the wideband stages (synthesis, analysis) mix ALL channels, so
+# their natural parallel axis is time.  Both mesh axes act as ONE
+# flattened time ring of tsize*csize workers for the wideband stages
+# (worker w = tidx*csize + cidx handles the w-th contiguous sub-block;
+# halos/overlap-add ride the flattened ring), and an all_to_all inside
+# each time row reshards hops->channels for the per-channel stages: time
+# row r then holds the r-th contiguous span of Nh_row demod samples with
+# channels sharded across 'chan' ranks.  No rank duplicates wideband
+# work.
+#
+# Streaming: every step carries explicit state exactly like the
+# single-device streamer (runtime/streamer._rx_stream_block) — analyzer
+# history and synthesis overlap-add carry at the flattened-ring level,
+# per-channel IQ carry (demod-discriminator continuity + the full
+# trigger+capture burst-overlap window) at the time-row level, and a hop
+# parity scalar.  Successive step calls are bit-continuous: the N-block
+# sharded stream decodes identically to the single-device
+# MultichannelReceiver on the same continuous wideband
+# (tests/test_parallel.py::test_sharded_stream_matches_single_device).
 
-def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
-                         demod_halo: int = 0, max_bursts: int = 2,
-                         threshold: float = 0.55):
-    """Build the jitted sharded full step: TX words -> wideband -> decode.
 
-    word_pairs: (C, F, 2, 28) sharded over channels.
-    Returns a function (word_pairs) -> results dict; the wideband signal
-    is produced and consumed inside one jit so XLA overlaps the
-    collectives with compute.
+def full_demod_halo(spec: MultichannelSpec) -> int:
+    """Demod-sample halo that guarantees a burst spanning a time-shard
+    (or block) boundary is complete inside the right-hand window: the
+    trigger + capture extent, the sharded mirror of the reference's
+    d_windowsz retention (lib/recc_impl.cc:104-107) and of the
+    single-device streamer's carry (runtime/streamer.py ovr)."""
+    return (correlator.TRIGGER_SYMBOLS
+            + correlator.CAPTURE_SYMBOLS) * spec.chan_sps
 
-    demod_halo: demod samples of left-neighbor halo for the correlation
-    stage (>= trigger+capture samples for burst-spanning correctness;
-    smaller values are allowed for dry runs on tiny shapes).
+
+def sharded_stream_state(spec: MultichannelSpec, demod_halo: int):
+    """Zero-initialized carried state for the sharded stream steps.
+
+    hist:     (L-P, 2)  analyzer history = previous block's global tail
+    iq_carry: (2, M, demod_halo+1) per-channel IQ tail of the previous
+              block (halo+1: one extra sample seeds the discriminator)
+    syn_carry:(L-P, 2)  synthesis overlap-add tail (TX streaming)
+    parity:   ()        global hop parity at the block start
     """
-    M = spec.num_channels
-    T = spec.taps_per_phase
+    M, T = spec.num_channels, spec.taps_per_phase
     L, Phop = M * T, M // 2
-    sps = spec.chan_sps
-    tsize = mesh.shape["time"]
-    csize = mesh.shape["chan"]
+    return {
+        "hist": jnp.zeros((L - Phop, 2), jnp.float32),
+        "iq_carry": jnp.zeros((2, M, demod_halo + 1), jnp.float32),
+        "syn_carry": jnp.zeros((L - Phop, 2), jnp.float32),
+        "parity": jnp.zeros((), jnp.int32),
+    }
+
+
+def _mesh_consts(mesh: Mesh, spec: MultichannelSpec):
+    M, T = spec.num_channels, spec.taps_per_phase
+    tsize, csize = mesh.shape["time"], mesh.shape["chan"]
     assert M % csize == 0
-    c_loc = M // csize
-    h = jnp.asarray(chz.prototype_taps(M, T))
-    sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
     split = (chz.default_split(M) if spec.transform_split < 0
              else spec.transform_split)
+    return M, T, M * T, M // 2, tsize, csize, M // csize, split
 
-    def step(word_pairs):
-        # The wideband stages (synthesis, analysis) mix ALL channels, so
-        # their natural parallel axis is time.  Both mesh axes therefore
-        # act as ONE flattened time ring of tsize*csize workers for the
-        # wideband stages (worker w = tidx*csize + cidx handles the w-th
-        # sub-block; halos/overlap-add ride the flattened ring), and an
-        # all_to_all inside each time row reshards hops->channels for
-        # the per-channel stages.  No rank duplicates wideband work.
-        def tx_local(wp):
-            # wp: (c_loc, F, 2, 28) on this chan rank, replicated over
-            # time: framing + FSK modulation is genuinely chan-sharded
-            bits = focc_frame_bits(wp)                   # (c_loc, nb)
-            bb, _ = fsk_manchester_baseband(bits, sps, sens)  # (c_loc, n, 2)
-            # gather all channels (the synthesis transform needs all M)
-            bb_all = lax.all_gather(bb, "chan", axis=0, tiled=True)  # (M, n, 2)
-            Y = jnp.swapaxes(bb_all, 0, 1)               # (n, M, 2)
-            n = Y.shape[0]
-            # pad the hop stream up to the worker ring (trailing hops
-            # synthesize silence; harmless to the per-channel stages)
-            W = tsize * csize
-            npad = -(-n // W) * W
-            if npad != n:
-                Y = jnp.concatenate(
-                    [Y, jnp.zeros((npad - n, M, 2), jnp.float32)], axis=0)
-            n_sub = npad // W
-            w = lax.axis_index("time") * csize + lax.axis_index("chan")
-            Yl = lax.dynamic_slice_in_dim(Y, w * n_sub, n_sub, axis=0)
-            xl, tail = chz._synthesize_block(
-                Yl, h, M, T, (w * n_sub) % 2,
-                jnp.zeros((L - Phop, 2), jnp.float32),
-                spec.transform_bf16, split)
-            # overlap-add: my tail belongs at the head of the next
-            # worker's sub-block (flattened ring crosses row boundaries)
-            xl = add_tail_to_right(xl, tail, ("time", "chan"), 0)
-            return xl                                     # (n_sub*P, 2)
 
-        def rx_local(xl):
-            # xl: (N_sub, 2) this worker's wideband sub-block
-            x_ext = halo_exchange_left(xl, L - Phop, ("time", "chan"), 0)
-            n_sub = xl.shape[0] // Phop
-            w = lax.axis_index("time") * csize + lax.axis_index("chan")
-            ypl = chz._analyze_block_chmajor(
-                x_ext, h, M, T, (w * n_sub) % 2, spec.transform_bf16,
-                split, spec.fold, planar=True)           # (2, M, Nh_sub)
-            # reshard channels<->hops within each time row: rank c keeps
-            # channels [c*c_loc, (c+1)*c_loc) over the row's full span
-            # (sub-blocks concatenate in source-rank = time order)
-            ymine = lax.all_to_all(ypl, "chan", split_axis=1,
-                                   concat_axis=2, tiled=True)
-            # demod continuity + correlation overlap via time halo
-            halo_n = demod_halo + 1
-            yext = halo_exchange_left(ymine, halo_n, "time", 2)
-            demod, _ = quadrature_demod_planar(yext[0], yext[1])
-            demod = demod[:, 1:]                         # drop seed sample
-            phases = correlator.symbol_phase_streams(demod, sps)
-            starts, valid, quality = correlator.find_bursts_phases(
-                phases, sps, max_bursts, threshold)
-            hard, _ = correlator.extract_from_phases(
-                phases, starts, sps,
-                hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-            dec = decoder.decode_bursts(hard)
-            # add a leading local time axis so out_specs assemble to
-            # (tsize, C, K, ...) global shapes
-            return (starts[None], valid[None], quality[None],
-                    dec.words[None], dec.word_ok[None])
+def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
+                                demod_halo: Optional[int] = None,
+                                max_bursts: int = 2,
+                                threshold: float = 0.55,
+                                policy: str = "first_ok"):
+    """Jitted sharded streaming RX step: (x, state) -> (out, new_state).
 
-        def full(wp):
-            xl = tx_local(wp)
-            return rx_local(xl)
+    x: (N, 2) wideband riq, N % (tsize*csize*P) == 0, sharded over the
+    flattened worker ring.  state: from ``sharded_stream_state``.
+    out: dict of global arrays — starts/valid/quality (tsize, M, K) with
+    starts local to each row's extended demod window (absolute demod
+    sample = row*Nh_row - demod_halo + start), words (tsize, M, K, 7, 36),
+    word_ok, chan_power (tsize, M).
 
-        return full(word_pairs)
+    demod_halo defaults to ``full_demod_halo(spec)``; bursts whose
+    capture extends past a row's window are marked invalid and re-found
+    complete by the right neighbor (or the next block) via the halo —
+    the same completeness discipline as the single-device streamer.
+    """
+    M, T, L, Phop, tsize, csize, c_loc, split = _mesh_consts(mesh, spec)
+    sps = spec.chan_sps
+    if demod_halo is None:
+        demod_halo = full_demod_halo(spec)
+    halo_n = demod_halo + 1
+    h = jnp.asarray(chz.prototype_taps(M, T))
+
+    def rx_local(xl, hist, iq_carry, parity):
+        # xl: (N_sub, 2) this worker's wideband sub-block
+        n_sub = xl.shape[0] // Phop
+        assert n_sub * Phop == xl.shape[0], \
+            "block length must be a multiple of workers * hop"
+        assert xl.shape[0] >= L - Phop, \
+            f"worker sub-block {xl.shape[0]} < analyzer history {L - Phop}"
+        assert n_sub * csize >= halo_n, \
+            (f"time-row demod span {n_sub * csize} < demod halo {halo_n}: "
+             f"use bigger blocks or a smaller mesh time axis")
+        w = lax.axis_index("time") * csize + lax.axis_index("chan")
+        x_ext = halo_exchange_left_carry(xl, L - Phop, ("time", "chan"),
+                                         hist)
+        ypl = chz._analyze_block_chmajor(
+            x_ext, h, M, T, (parity + w * n_sub) % 2, spec.transform_bf16,
+            split, spec.fold, planar=True)               # (2, M, Nh_sub)
+        # reshard channels<->hops within each time row: rank c keeps
+        # channels [c*c_loc, (c+1)*c_loc) over the row's full span
+        # (sub-blocks concatenate in source-rank = time order)
+        ymine = lax.all_to_all(ypl, "chan", split_axis=1,
+                               concat_axis=2, tiled=True)  # (2, c_loc, Nh_row)
+        cidx = lax.axis_index("chan")
+        my_carry = lax.dynamic_slice_in_dim(iq_carry, cidx * c_loc, c_loc,
+                                            axis=1)
+        # demod continuity + burst-capture overlap via the time halo
+        yext = halo_exchange_left_carry(ymine, halo_n, "time", my_carry,
+                                        sample_axis=2)
+        if spec.io_bf16:
+            yext = yext.astype(jnp.bfloat16)
+        demod, _ = quadrature_demod_planar(yext[0], yext[1])
+        demod = demod[:, 1:]                             # drop seed sample
+        # fresh-only band power, the same discriminator conjugate
+        # product the single-device streamer reports as rssi
+        fr, fi = ymine[0], ymine[1]
+        sr, si = yext[0][:, halo_n - 1:-1], yext[1][:, halo_n - 1:-1]
+        re, im = fr * sr + fi * si, fi * sr - fr * si
+        chan_power = jnp.sqrt(jnp.mean(
+            (re * re + im * im).astype(jnp.float32), axis=-1))
+        dsp = demod.astype(jnp.bfloat16) if spec.io_bf16 else demod
+        phases = correlator.symbol_phase_streams(dsp, sps)
+        starts, valid, quality = correlator.find_bursts_phases(
+            phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+        # completeness guard: a capture cut off by this row's window is
+        # re-found complete by the right neighbor (via its halo) or the
+        # next block (via iq_carry)
+        valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
+                         <= demod.shape[-1])
+        hard, _ = correlator.extract_from_phases(
+            phases, starts, sps,
+            hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+        dec = decoder.decode_bursts(hard, policy)
+        # carried state pieces: only the LAST worker's wideband tail and
+        # the LAST time row's IQ tails survive (sliced outside shard_map)
+        tail_x = x_ext[-(L - Phop):]
+        tail_iq = ymine[:, :, -halo_n:].astype(jnp.float32)
+        # leading local time axis so out_specs assemble global shapes
+        return (starts[None], valid[None], quality[None],
+                dec.words[None], dec.word_ok[None], chan_power[None],
+                dec.dcc_bits[None], dec.bad_symbols[None],
+                tail_x[None], tail_iq[None])
 
     sharded = shard_map(
-        step, mesh=mesh,
-        in_specs=(P("chan", None, None, None),),
+        rx_local, mesh=mesh,
+        in_specs=(P(("time", "chan"), None), P(None, None),
+                  P(None, None, None), P()),
         out_specs=(P("time", "chan", None),
                    P("time", "chan", None),
                    P("time", "chan", None),
                    P("time", "chan", None, None, None),
-                   P("time", "chan", None, None)),
-    )
-    return jax.jit(sharded)
+                   P("time", "chan", None, None),
+                   P("time", "chan"),
+                   P("time", "chan", None, None),
+                   P("time", "chan", None, None),
+                   P(("time", "chan"), None, None),
+                   P("time", None, "chan", None)))
+
+    def step(x, state):
+        (starts, valid, quality, words, word_ok, chan_power, dcc_bits,
+         bad_symbols, tails_x, tails_iq) = sharded(
+            x, state["hist"], state["iq_carry"], state["parity"])
+        new_state = {
+            "hist": tails_x[-1],
+            "iq_carry": tails_iq[-1],
+            "syn_carry": state["syn_carry"],
+            "parity": (state["parity"] + x.shape[0] // Phop) % 2,
+        }
+        out = {"starts": starts, "valid": valid, "quality": quality,
+               "words": words, "word_ok": word_ok,
+               "chan_power": chan_power, "dcc_bits": dcc_bits,
+               "bad_symbols": bad_symbols}
+        return out, new_state
+
+    return jax.jit(step)
+
+
+def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
+                                demod_halo: Optional[int] = None,
+                                max_bursts: int = 2,
+                                threshold: float = 0.55,
+                                policy: str = "first_ok",
+                                rx_external: bool = False):
+    """Jitted sharded streaming FULL step: TX words -> wideband -> decode.
+
+    (word_pairs, state [, x_rx]) -> (out, new_state).  word_pairs:
+    (C, F, 2, 28) sharded over channels; the synthesized wideband is
+    produced and consumed inside one jit so XLA overlaps the collectives
+    with compute.  With ``rx_external`` the RX side consumes the extra
+    ``x_rx`` wideband argument (reverse band traffic) instead of the
+    TX loopback, while TX still synthesizes and carries its stream —
+    the full-duplex base-station shape.
+
+    Streaming: carries analyzer history, per-channel IQ (demod + burst
+    overlap), synthesis overlap-add carry, and hop parity across calls
+    — N consecutive steps form one continuous TX stream and one
+    continuous RX stream (GR's work() contract, lib/focc_impl.cc:583).
+    """
+    M, T, L, Phop, tsize, csize, c_loc, split = _mesh_consts(mesh, spec)
+    sps = spec.chan_sps
+    if demod_halo is None:
+        demod_halo = full_demod_halo(spec)
+    halo_n = demod_halo + 1
+    h = jnp.asarray(chz.prototype_taps(M, T))
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+    rx_step = make_sharded_rx_stream_step(mesh, spec, demod_halo,
+                                          max_bursts, threshold, policy)
+    Wk = tsize * csize
+
+    def tx_local(wp, syn_carry, parity):
+        # wp: (c_loc, F, 2, 28) on this chan rank, replicated over
+        # time: framing + FSK modulation is genuinely chan-sharded.
+        # (The FSK phase accumulator needs no carry: Manchester bits
+        # are DC-balanced so superframe boundaries are a fixed point.)
+        bits = focc_frame_bits(wp)                       # (c_loc, nb)
+        bb, _ = fsk_manchester_baseband(bits, sps, sens)  # (c_loc, n, 2)
+        # gather all channels (the synthesis transform needs all M)
+        bb_all = lax.all_gather(bb, "chan", axis=0, tiled=True)  # (M, n, 2)
+        Y = jnp.swapaxes(bb_all, 0, 1)                   # (n, M, 2)
+        n = Y.shape[0]
+        # pad the hop stream up to the worker ring (trailing hops
+        # synthesize silence; harmless to the per-channel stages)
+        npad = -(-n // Wk) * Wk
+        if npad != n:
+            Y = jnp.concatenate(
+                [Y, jnp.zeros((npad - n, M, 2), jnp.float32)], axis=0)
+        n_sub = npad // Wk
+        w = lax.axis_index("time") * csize + lax.axis_index("chan")
+        Yl = lax.dynamic_slice_in_dim(Y, w * n_sub, n_sub, axis=0)
+        xl, tail = chz._synthesize_block(
+            Yl, h, M, T, (parity + w * n_sub) % 2,
+            jnp.zeros((L - Phop, 2), jnp.float32),
+            spec.transform_bf16, split)
+        # overlap-add: my tail belongs at the head of the next worker's
+        # sub-block (flattened ring crosses row boundaries); worker 0
+        # receives the previous BLOCK's carry, and the last worker's
+        # tail is emitted as the next block's carry
+        xl = overlap_add_with_carry(xl, tail, ("time", "chan"), syn_carry)
+        return xl, tail[None]
+
+    tx_sharded = shard_map(
+        tx_local, mesh=mesh,
+        in_specs=(P("chan", None, None, None), P(None, None), P()),
+        out_specs=(P(("time", "chan"), None),
+                   P(("time", "chan"), None, None)))
+
+    def step(word_pairs, state, x_rx=None):
+        xl, tails = tx_sharded(word_pairs, state["syn_carry"],
+                               state["parity"])
+        out, new_state = rx_step(x_rx if rx_external else xl, state)
+        new_state["syn_carry"] = tails[-1]
+        out["tx_wideband"] = xl
+        return out, new_state
+
+    if rx_external:
+        return jax.jit(step)
+    return jax.jit(lambda wp, st: step(wp, st))
+
+
+def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
+                         demod_halo: Optional[int] = None,
+                         max_bursts: int = 2,
+                         threshold: float = 0.55):
+    """One-shot sharded full step (zero-state stream step), kept for
+    compile checks and mesh-consistency tests.  Returns a function
+    (word_pairs) -> (starts, valid, quality, words, word_ok).
+    Streaming callers use ``make_sharded_bs_stream_step``."""
+    stream = make_sharded_bs_stream_step(mesh, spec, demod_halo,
+                                         max_bursts, threshold)
+    if demod_halo is None:
+        demod_halo = full_demod_halo(spec)
+
+    def step(word_pairs):
+        out, _ = stream(word_pairs, sharded_stream_state(spec, demod_halo))
+        return (out["starts"], out["valid"], out["quality"],
+                out["words"], out["word_ok"])
+
+    return jax.jit(step)

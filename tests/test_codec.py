@@ -207,3 +207,96 @@ def test_packed_lut_lookup_requests_exact_precision():
     for e in dots:
         prec = e.params.get("precision")
         assert prec is not None and "HIGHEST" in str(prec), (e.params,)
+
+
+def _all_patterns(n):
+    import itertools
+    return ([()] + [(i,) for i in range(n)]
+            + list(itertools.combinations(range(n), 2)))
+
+
+def test_bm_cross_check_recc_all_1177_patterns():
+    """VERDICT r1 item 6: a second, algorithmically independent decoder
+    (Berlekamp-Massey + Chien over GF(2^6), ref/bm_ref.py) agrees with
+    BOTH the product syndrome-LUT decoder and the exhaustive-root oracle
+    on every one of the 1177 <=2-error patterns of the shortened (48,36)
+    reverse code — pinning the IT++ conventions (the 15-zero prefix of
+    lib/recc_decode_impl.cc:55-68) without IT++ in the image."""
+    import jax.numpy as jnp
+    from amps_tpu.ref import bm_ref
+
+    rng = np.random.default_rng(5)
+    info = rng.integers(0, 2, 36).astype(np.uint8)
+    code = np.asarray(bch_ref.recc_bch_encode(info))
+    pats = _all_patterns(48)
+    assert len(pats) == 1177
+    rx = np.tile(code, (len(pats), 1))
+    for r, p in zip(rx, pats):
+        for i in p:
+            r[i] ^= 1
+    dec, ok = bch.recc_bch_decode(jnp.asarray(rx))
+    dec, ok = np.asarray(dec), np.asarray(ok)
+    assert ok.all()
+    assert (dec == info).all()
+    for r in rx:
+        got, bok = bm_ref.recc_bm_decode(r)
+        assert bok and np.array_equal(got, info)
+
+
+def test_bm_cross_check_focc_all_821_patterns():
+    """Same three-way agreement for the forward (40,28) code and its
+    23-zero prefix (lib/focc_impl.cc:157-176): all 821 <=2-error
+    patterns decode identically under the product LUT decoder and the
+    independent BM decoder."""
+    import jax.numpy as jnp
+    from amps_tpu.ref import bm_ref
+
+    rng = np.random.default_rng(9)
+    info = rng.integers(0, 2, 28).astype(np.uint8)
+    code = np.asarray(bch_ref.focc_bch_encode(info))
+    assert np.array_equal(np.asarray(bch.focc_bch_encode(info)), code)
+    pats = _all_patterns(40)
+    assert len(pats) == 821
+    rx = np.tile(code, (len(pats), 1))
+    for r, p in zip(rx, pats):
+        for i in p:
+            r[i] ^= 1
+    dec, ok = bch.focc_bch_decode(jnp.asarray(rx))
+    dec, ok = np.asarray(dec), np.asarray(ok)
+    assert ok.all()
+    assert (dec == info).all()
+    for r in rx:
+        got, bok = bm_ref.focc_bm_decode(r)
+        assert bok and np.array_equal(got, info)
+
+
+def test_bm_cross_check_uncorrectable_agreement():
+    """Beyond t=2 the decoders must still AGREE: any coset has at most
+    one weight-<=2 leader (d=5), so a 3-error word either miscorrects
+    to the same nearby codeword or is flagged uncorrectable — by both
+    the product LUT decoder and the independent BM decoder."""
+    import itertools
+    import jax.numpy as jnp
+    from amps_tpu.ref import bm_ref
+
+    rng = np.random.default_rng(13)
+    info = rng.integers(0, 2, 36).astype(np.uint8)
+    code = np.asarray(bch_ref.recc_bch_encode(info))
+    triples = list(itertools.combinations(range(48), 3))
+    rng.shuffle(triples)
+    triples = triples[:200]
+    rx = np.tile(code, (len(triples), 1))
+    for r, p in zip(rx, triples):
+        for i in p:
+            r[i] ^= 1
+    dec, ok = bch.recc_bch_decode(jnp.asarray(rx))
+    dec, ok = np.asarray(dec), np.asarray(ok)
+    n_flagged = 0
+    for i, r in enumerate(rx):
+        got, bok = bm_ref.recc_bm_decode(r)
+        assert bok == bool(ok[i]), (i, triples[i])
+        if bok:
+            assert np.array_equal(got, dec[i]), (i, triples[i])
+        else:
+            n_flagged += 1
+    assert n_flagged > 0  # some 3-error patterns are detected

@@ -67,3 +67,103 @@ def test_two_process_distributed_mesh_and_collectives(tmp_path):
     # shards a zero halo: psum = 2016 + 132
     for out in outs:
         assert "2148.0" in out, out[-2000:]
+
+
+_RX_WORKER = r'''
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+sys.path.insert(0, {repo!r})
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+from amps_tpu.parallel import distributed as dist
+from amps_tpu.parallel.pipeline import (MultichannelSpec, full_demod_halo,
+                                        make_sharded_rx_stream_step,
+                                        sharded_stream_state)
+from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+from amps_tpu.rx import correlator
+
+pid = int(sys.argv[1])
+dist.initialize("127.0.0.1:" + sys.argv[2], 2, pid)
+assert jax.process_count() == 2 and jax.device_count() == 4
+mesh = dist.global_mesh()          # time=2 across processes, chan=2 within
+
+spec = MultichannelSpec(num_channels=8, taps_per_phase=4)
+sps = spec.chan_sps
+halo = full_demod_halo(spec)       # 10344
+row_hops = 12480
+total_hops = 2 * row_hops
+# channel 2's burst crosses hop 12480 = the time-row AND process boundary
+events = [MobileEvent("origination", 1, 700, "5551234567", "7025551000",
+                      esn=777),
+          MobileEvent("page_response", 2, row_hops - 5000, "4155559876")]
+x = synthesize_reverse_band(events, spec, total_hops, noise_sigma=0.001)
+
+step = make_sharded_rx_stream_step(mesh, spec, halo, max_bursts=2,
+                                   threshold=0.55)
+state = sharded_stream_state(spec, halo)
+xsh = NamedSharding(mesh, P(("time", "chan"), None))
+xg = jax.make_array_from_callback(
+    x.shape, xsh, lambda idx: x[idx].astype(np.float32))
+rep = NamedSharding(mesh, P())
+state = jax.tree.map(
+    lambda a: jax.make_array_from_callback(
+        a.shape, rep, lambda idx, a=a: np.asarray(a)[idx]), state)
+out, _ = step(xg, state)
+out = {{k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+       for k, v in out.items()}}
+
+found = {{}}
+for r in range(2):
+    for c in range(8):
+        for k in range(out["starts"].shape[2]):
+            if not out["valid"][r, c, k]:
+                continue
+            a = r * row_hops - halo + int(out["starts"][r, c, k])
+            if any(ch == c and abs(a - pos) <
+                   correlator.CAPTURE_SYMBOLS * sps // 2
+                   for ch, pos in found):
+                continue
+            found[(c, a)] = (out["words"][r, c, k], out["word_ok"][r, c, k])
+assert len(found) == len(events), sorted(found)
+for ev in events:
+    hits = [(a, v) for (c, a), v in found.items() if c == ev.channel]
+    assert len(hits) == 1, (ev.channel, hits)
+    a, (words, ok) = hits[0]
+    want = np.stack(ev.words())
+    assert ok[: len(want)].all(), (ev.channel, ok)
+    assert np.array_equal(words[: len(want)], want), ev.channel
+# the channel-2 burst really spanned the process boundary
+a2 = next(a for (c, a) in found if c == 2)
+assert a2 < row_hops < a2 + correlator.CAPTURE_SYMBOLS * sps, a2
+print("RXOK", pid, sorted(found.keys()), flush=True)
+'''
+
+
+def test_two_process_full_sharded_rx_decodes_boundary_burst(tmp_path):
+    """VERDICT r1 item 3: the FULL sharded RX step (analysis halos over
+    the flattened ring, per-row all_to_all, full-size demod halo,
+    decode) on a REAL 2-process mesh, decoding a planted burst that
+    crosses the PROCESS boundary bit-exactly."""
+    import pathlib
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    cache = str(pathlib.Path(repo) / ".jax_cache")
+    script = tmp_path / "rx_worker.py"
+    script.write_text(_RX_WORKER.format(repo=repo, cache=cache))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen([sys.executable, str(script), str(i),
+                               str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "RXOK" in out, out[-3000:]

@@ -143,30 +143,154 @@ def test_flattened_ring_all_to_all_matches_single():
     assert np.allclose(want, np.asarray(got), atol=1e-5)
 
 
-def test_sharded_step_all_mesh_shapes_consistent_power():
-    """The same word input through (4,1), (2,2), (1,4) meshes yields the
-    same FOCC band energy footprint (resharding moves work, not data)."""
+def _dedup_by_capture_extent(bursts, sps):
+    """Distance-dedup a sorted-(channel, abs) burst list exactly like the
+    streaming receivers: drop entries within half a capture of the
+    previously kept burst on the same channel (a mid-capture re-trigger
+    seen by a later window whose halo cut off the true trigger)."""
+    from amps_tpu.rx import correlator
+    kept, last = [], {}
+    for b in sorted(bursts, key=lambda b: (b[0], b[1])):
+        c, pos = b[0], b[1]
+        if c in last and abs(pos - last[c]) < \
+                correlator.CAPTURE_SYMBOLS * sps // 2:
+            continue
+        last[c] = pos
+        kept.append(b)
+    return kept
+
+
+def test_sharded_rx_decodes_bursts_word_equal_all_meshes():
+    """VERDICT r1 item 1: real RECC traffic through the sharded RX with
+    the FULL trigger+capture demod halo decodes word-for-word equal to
+    the unsharded rx_multichannel_block — at EVERY mesh factorization of
+    8, including a burst deliberately placed across the time-shard
+    boundary (the shard_map mirror of lib/recc_impl.cc:104-126's
+    d_windowsz overlap discipline).  This subsumes the old loose
+    quality-spread cross-mesh check (item 8)."""
+    import jax.numpy as jnp
+    from amps_tpu.eval.traffic import (MobileEvent, random_events,
+                                       synthesize_reverse_band)
     from amps_tpu.parallel.pipeline import (MultichannelSpec,
-                                            make_sharded_bs_step)
-    from amps_tpu.tx.focc import superframe_word_pairs
+                                            full_demod_halo,
+                                            make_sharded_rx_stream_step,
+                                            rx_multichannel_block,
+                                            sharded_stream_state)
 
     spec = MultichannelSpec(num_channels=8, taps_per_phase=4)
-    frames = 4
-    pairs = superframe_word_pairs()[:frames]
-    word_pairs = np.broadcast_to(pairs, (8,) + pairs.shape).copy()
+    sps = spec.chan_sps
+    halo = full_demod_halo(spec)
+    assert halo == 10344  # (74 + 3374) * 3
+    total_hops = 99840    # tsize=8 rows of 12480 >= halo + 1
+    events = random_events(10, spec, total_hops, seed=3,
+                           channels=range(1, 8))
+    # channel 0: burst crossing hop 49920 — a shard boundary for tsize
+    # 2, 4 AND 8
+    boundary_ev = MobileEvent("origination", 0, 49920 - 6000,
+                              "5551234567", "7025551000", esn=12345)
+    events.append(boundary_ev)
+    x = synthesize_reverse_band(events, spec, total_hops,
+                                noise_sigma=0.001)
 
-    results = []
-    for t, c in ((4, 1), (2, 2), (1, 4)):
-        mesh = make_mesh(MeshSpec(time=t, chan=c), jax.devices()[:4])
-        step = make_sharded_bs_step(mesh, spec, demod_halo=32,
-                                    max_bursts=1)
-        starts, valid, quality, words, word_ok = step(word_pairs)
-        results.append(np.sort(np.asarray(quality).ravel()))
-    # quality sets depend on block segmentation; the finite max must
-    # agree across meshes to a loose tolerance (same underlying stream)
-    m = [r[-1] for r in results]
-    assert np.isfinite(m).all()
-    assert max(m) - min(m) < 0.25, m
+    ref = jax.device_get(rx_multichannel_block(
+        jnp.asarray(x), spec, max_bursts=4, threshold=0.55))
+    truth = set()
+    for c in range(8):
+        for k in range(4):
+            if ref["valid"][c][k]:
+                truth.add((c, int(ref["starts"][c][k]),
+                           ref["words"][c][k].tobytes(),
+                           ref["word_ok"][c][k].tobytes()))
+    assert len(truth) == len(events)
+    # the boundary event decoded fully in the unsharded truth
+    bwords = [(w, ok) for (c, s, w, ok) in truth if c == 0]
+    assert len(bwords) == 1
+    want = np.stack(boundary_ev.words())
+    got = np.frombuffer(bwords[0][0], np.uint8).reshape(7, 36)
+    okb = np.frombuffer(bwords[0][1], np.bool_)
+    assert okb[: len(want)].all()
+    assert np.array_equal(got[: len(want)], want)
+
+    for t, c in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        mesh = make_mesh(MeshSpec(time=t, chan=c), jax.devices())
+        step = make_sharded_rx_stream_step(mesh, spec, halo,
+                                           max_bursts=4, threshold=0.55)
+        out, _ = step(jnp.asarray(x), sharded_stream_state(spec, halo))
+        out = jax.device_get(out)
+        nh_row = total_hops // t
+        got = set()
+        for r in range(t):
+            for ch in range(8):
+                for k in range(out["starts"].shape[2]):
+                    if out["valid"][r, ch, k]:
+                        got.add((ch, r * nh_row - halo
+                                 + int(out["starts"][r, ch, k]),
+                                 out["words"][r, ch, k].tobytes(),
+                                 out["word_ok"][r, ch, k].tobytes()))
+        got = set(_dedup_by_capture_extent(got, sps))
+        assert got == truth, (
+            t, c,
+            sorted((g[0], g[1]) for g in got - truth),
+            sorted((g[0], g[1]) for g in truth - got))
+
+
+def test_sharded_stream_matches_single_device():
+    """VERDICT r1 item 2: N consecutive sharded streaming blocks decode
+    bit-identically to the single-device MultichannelReceiver on the
+    same continuous wideband — carried analyzer history, per-channel IQ
+    carry, dedup, rssi gate all mirrored; bursts crossing a time-ROW
+    boundary and a BLOCK boundary included (GR's continuous work()
+    contract, lib/focc_impl.cc:583-647)."""
+    from amps_tpu.eval.traffic import (MobileEvent, random_events,
+                                       synthesize_reverse_band)
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedReceiver
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    Phop = 4
+    tsize, csize = 2, 2
+    nh_row = 12480
+    block_hops = tsize * nh_row
+    nblocks = 3
+    total_hops = nblocks * block_hops
+
+    events = random_events(8, spec, total_hops, seed=11,
+                           channels=range(2, 8))
+    # one burst crossing the ROW boundary at hop 12480, one crossing
+    # the BLOCK boundary at hop 24960
+    events.append(MobileEvent("origination", 0, 12480 - 5000,
+                              "5551234567", "7025551000", esn=777))
+    events.append(MobileEvent("page_response", 1, 24960 - 4000,
+                              "4155559876"))
+    x = synthesize_reverse_band(events, spec, total_hops,
+                                noise_sigma=0.001)
+
+    mr = MultichannelReceiver(spec, max_bursts=4, threshold=0.55,
+                              policy="first_ok", min_rssi=0.05)
+    mr_reports = []
+    for i in range(nblocks * tsize):
+        mr_reports += mr.push(x[i * nh_row * Phop:(i + 1) * nh_row * Phop])
+    mr_reports += mr.flush()
+
+    mesh = make_mesh(MeshSpec(time=tsize, chan=csize), jax.devices()[:4])
+    sr = ShardedReceiver(mesh, spec, max_bursts=4, threshold=0.55,
+                         policy="first_ok", min_rssi=0.05)
+    sr_reports = []
+    for b in range(nblocks):
+        sr_reports += sr.push(x[b * block_hops * Phop:
+                                (b + 1) * block_hops * Phop])
+
+    assert len(mr_reports) == len(events) == len(sr_reports)
+    for a, b in zip(mr_reports, sr_reports):
+        assert a.channel == b.channel and a.abs_symbol == b.abs_symbol
+        assert np.array_equal(a.words, b.words), (a.channel, a.abs_symbol)
+        assert np.array_equal(a.word_ok, b.word_ok)
+        assert np.array_equal(a.bad_symbols, b.bad_symbols)
+        assert a.dcc == b.dcc
+        assert abs(a.quality - b.quality) < 1e-3
+        assert abs(a.rssi - b.rssi) < 1e-3 * max(1.0, a.rssi)
+    assert all(r.word_ok[:2].all() for r in mr_reports)
 
 
 def test_tx_multichannel_per_channel_bits():
