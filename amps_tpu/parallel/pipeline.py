@@ -128,6 +128,30 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     if pallas_ok:
         from amps_tpu import pallas as plk
         pallas_ok = plk.enabled()
+    sps = spec.chan_sps
+    if pallas_ok and use_pallas != "v1" and sps == 3:
+        # v2 fused front end (pallas/rx_phases_kernel.py): one kernel
+        # from wideband IQ all the way to the integrate-and-dump phase
+        # streams — neither the (2, M, Nh) analysis planes nor the
+        # (M, Nh) demod plane ever touch HBM (VERDICT r1 item 4)
+        from amps_tpu.pallas.rx_phases_kernel import analyze_phases_pallas
+        x_ext = jnp.concatenate(
+            [jnp.zeros((M * T - P, 2), jnp.float32),
+             jnp.asarray(x, jnp.float32)], axis=0)
+        phases, chan_power = analyze_phases_pallas(x_ext, M, T, sps,
+                                                   tile_h=384)
+        starts, valid, quality = correlator.find_bursts_phases(
+            phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+        hard, _ = correlator.extract_from_phases(
+            phases, starts, sps,
+            hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+        dec = decoder.decode_bursts(hard, policy)
+        return {
+            "starts": starts, "valid": valid, "quality": quality,
+            "words": dec.words, "word_ok": dec.word_ok,
+            "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
+            "chan_power": chan_power,
+        }
     if pallas_ok:
         from amps_tpu.pallas.rx_front_kernel import analyze_demod_pallas
         x_ext = jnp.concatenate(

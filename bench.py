@@ -95,6 +95,28 @@ def _tx_throughput(spec, frames=3, iters=128):
     return nwide * iters / dt / 1e6
 
 
+def _closed_loop_throughput(spec, nblocks=32, frames=2):
+    """Sustained Msps of the fused TX->RF->RX closed loop: ONE jitted
+    lax.scan over ``nblocks`` consecutive blocks with device-resident
+    state — the number cannot depend on host-tunnel bandwidth (the
+    block-shot numbers above amortize dispatch over an async queue;
+    this one has a single dispatch for the whole stream)."""
+    import jax.numpy as jnp
+    from amps_tpu.runtime.streamer import make_closed_loop_stream
+
+    rng = np.random.default_rng(0)
+    M = spec.num_channels
+    wp = jnp.asarray(rng.integers(0, 2, (M, frames, 2, 28)).astype(np.uint8))
+    run, block_samples = make_closed_loop_stream(spec, nblocks, frames)
+    v, q, wok = run(wp)
+    float(q)  # sync (compile + warm run)
+    t0 = time.perf_counter()
+    v, q, wok = run(wp)
+    float(q)
+    dt = time.perf_counter() - t0
+    return nblocks * block_samples / dt / 1e6
+
+
 def main():
     # the axon chip wedges for minutes-to-hours after any client crash;
     # patiently wait (never kill a blocked prober — that re-wedges it)
@@ -131,6 +153,13 @@ def main():
     tx1024 = _tx_throughput(MultichannelSpec(num_channels=1024,
                                              taps_per_phase=8))
 
+    # sustained closed loop: 32 consecutive full-duplex blocks, one
+    # dispatch, device-resident state (VERDICT r1 item 5)
+    loop1024 = _closed_loop_throughput(
+        MultichannelSpec(num_channels=1024, taps_per_phase=8,
+                         fold="bank", io_bf16=True, corr_bf16=True,
+                         transform_bf16=True), nblocks=32, frames=2)
+
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {
         "metric": "IQ Msamples/s/chip (1024-ch channelize+RECC demod+decode)",
@@ -146,6 +175,9 @@ def main():
             "equivalent_realtime_30kHz_channels_best": int(
                 max(m1024, m256, m128) / 0.03),
             "throughput_tx_1024ch_msps": round(tx1024, 2),
+            "sustained_closed_loop_1024ch_msps": round(loop1024, 2),
+            "closed_loop_realtime_factor": round(
+                loop1024 / realtime_rate, 2),
             "device": str(jax.devices()[0]),
         },
     }

@@ -319,3 +319,25 @@ def test_rssi_gate_strict_for_fresh_samples():
     # only the loud burst reports; FM amplitude-invariance decodes the
     # weak one identically but the power gate rejects it
     assert [r.abs_symbol < 6000 for r in reports if r.channel == 3] == [True]
+
+
+def test_closed_loop_stream_runs_and_streams_state():
+    """The fused TX->RF->RX closed loop (one jitted scan, device-resident
+    state) runs N consecutive blocks and produces finite summaries; the
+    FOCC loopback must NOT trigger the RECC detector (its seizure
+    precursor is 26 dotting bits, FOCC frames carry only 10 before each
+    word sync — measured quality tops out ~0.48 < 0.55)."""
+    import jax.numpy as jnp
+    from amps_tpu.runtime.streamer import make_closed_loop_stream
+    from amps_tpu.tx.focc import superframe_word_pairs
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=4)
+    run, block_samples = make_closed_loop_stream(spec, nblocks=3, frames=2)
+    assert block_samples == 2 * 463 * 2 * 3 * 4
+    pairs = superframe_word_pairs()[:2]
+    wp = jnp.asarray(np.broadcast_to(pairs, (8,) + pairs.shape).copy())
+    v, q, wok = run(wp)
+    v, q = int(v), float(q)
+    assert np.isfinite(q)
+    assert v == 0, (v, q)
+    assert q < 0.55
