@@ -200,6 +200,57 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     }
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "max_bursts", "policy"))
+def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
+                                  max_bursts: int = 2,
+                                  threshold: float = 0.55,
+                                  policy: str = "first_ok"):
+    """Batched small-bank RX: (G, N, 2) — G independent wideband
+    streams through G copies of the M-channel bank in ONE program.
+
+    Small banks leave the chip half-idle (M=128 measured ~1.4 Gsps vs
+    2.8 at M=256: the (Nh, M) transform matmuls and (M, ...) planes are
+    too narrow to fill the MXU/VPU — BENCH r1 detail, VERDICT r1
+    item 9).  A realistic narrow-band deployment runs SEVERAL
+    independent bands per chip; batching them restores full-width
+    operands (G*M effective channels) with zero cross-band coupling.
+    Every stage below is batch-polymorphic, so this is the single-
+    stream XLA path with a leading G axis.
+    """
+    M = spec.num_channels
+    T = spec.taps_per_phase
+    G = xs.shape[0]
+    hist = jnp.zeros((G, M * T - M // 2, 2), jnp.float32)
+    x_ext = jnp.concatenate([hist, jnp.asarray(xs, jnp.float32)], axis=1)
+    h = jnp.asarray(chz.prototype_taps(M, T))
+    split = (chz.default_split(M) if spec.transform_split < 0
+             else spec.transform_split)
+    ypl = chz._analyze_block_chmajor(
+        x_ext, h, M, T, 0, spec.transform_bf16, split, spec.fold,
+        planar=True)                                     # (G, 2, M, Nh)
+    if spec.io_bf16:
+        ypl = ypl.astype(jnp.bfloat16)
+    demod, _, chan_power = quadrature_demod_planar(
+        ypl[:, 0], ypl[:, 1], return_power=True)         # (G, M, Nh)
+    if spec.io_bf16:
+        demod = demod.astype(jnp.bfloat16)
+    sps = spec.chan_sps
+    phases = correlator.symbol_phase_streams(demod, sps)
+    starts, valid, quality = correlator.find_bursts_phases(
+        phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+    hard, _ = correlator.extract_from_phases(
+        phases, starts, sps,
+        hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+    dec = decoder.decode_bursts(hard, policy)            # (G, C, K, ...)
+    return {
+        "starts": starts, "valid": valid, "quality": quality,
+        "words": dec.words, "word_ok": dec.word_ok,
+        "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
+        "chan_power": chan_power,
+    }
+
+
 # ---------------------------------------------------------------------------
 # sharded pipeline (shard_map over ('time', 'chan'))
 # ---------------------------------------------------------------------------

@@ -304,3 +304,33 @@ def test_no_retrigger_inside_active_capture(rng):
     st2, v2, q2 = correlator.find_bursts_phases(phases, sps, 4, 0.6)
     got2 = sorted(np.asarray(st2)[np.asarray(v2)])
     assert list(got) == [int(g) for g in got2]
+
+
+def test_batched_small_bank_rx_matches_single():
+    """rx_multichannel_block_batched (G independent narrow bands in one
+    program — the small-bank utilization fix) decodes identically to G
+    single-stream calls."""
+    import jax
+    import jax.numpy as jnp
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import (MultichannelSpec,
+                                            rx_multichannel_block,
+                                            rx_multichannel_block_batched)
+
+    spec = MultichannelSpec(num_channels=16, taps_per_phase=8)
+    total_hops = 16384
+    evs = [[MobileEvent("origination", 3, 700, "5551234567", "7025551000",
+                        esn=g)] for g in range(3)]
+    xs = np.stack([np.asarray(synthesize_reverse_band(
+        e, spec, total_hops, noise_sigma=0.001, seed=g))
+        for g, e in enumerate(evs)])
+    out = jax.device_get(rx_multichannel_block_batched(
+        jnp.asarray(xs), spec, max_bursts=1, threshold=0.55))
+    for g in range(3):
+        ref = jax.device_get(rx_multichannel_block(
+            jnp.asarray(xs[g]), spec, max_bursts=1, threshold=0.55))
+        assert bool(out["valid"][g][3][0]) and bool(ref["valid"][3][0])
+        assert np.array_equal(out["words"][g][3][0], ref["words"][3][0])
+        want = np.stack(evs[g][0].words())
+        assert np.array_equal(
+            np.asarray(out["words"][g][3][0])[: len(want)], want)
