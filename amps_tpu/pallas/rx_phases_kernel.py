@@ -58,7 +58,8 @@ def _dump_selector(tile_h: int, sps: int) -> np.ndarray:
     return W
 
 
-def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool):
+def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool,
+                 dm_t=jnp.float32):
     P = M // 2
     half = tile_h // 2
     rows = half + T            # z rows needed per parity bank
@@ -124,7 +125,7 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool):
             im = yi * sr - yr * si
             carry[0:1] = yr[-1:]
             carry[1:2] = yi[-1:]
-            dbuf[slot] = fast_atan2(im, re)  # (tile_h, M) f32
+            dbuf[slot] = fast_atan2(im, re).astype(dm_t)
             psum = jnp.sum(re * re + im * im, axis=0, keepdims=True)
             pow_ref[:] = jnp.broadcast_to(psum, (8, M))
 
@@ -138,10 +139,11 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool):
         @pl.when(i > 0)
         def _():
             prev = jax.lax.rem(i + 1, 2)    # == (i - 1) % 2
-            live = (i < nt).astype(jnp.float32)
+            live = (i < nt).astype(dm_t)
             head = dbuf[slot][: sps - 1] * live
             d = jnp.concatenate([dbuf[prev], head], axis=0)
-            # one MXU dot: (tile_h, tile_h+sps-1) x (tile_h+sps-1, M)
+            # one MXU dot (bf16 operands, f32 accumulation):
+            # (tile_h, tile_h+sps-1) x (tile_h+sps-1, M)
             ph = jnp.dot(w_ref[:], d,
                          preferred_element_type=jnp.float32)  # (tile_h, M)
             # (M, tile_h) -> (M*sps, S): row m*sps + p, symbol j — an
@@ -182,12 +184,20 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
         Nh += pad_h
     S = tile_h // sps
     bf16_mats = M >= 512
-    kernel, in_len = _make_kernel(M, T, sps, tile_h, bf16_mats)
+    # demod buffer dtype: f32.  A bf16 buffer was tried to duck the
+    # 16 MB scoped-VMEM limit and made it WORSE (22.4 vs 16.97 MB —
+    # Mosaic's stack is dominated by the (tile_h, M) f32 elementwise
+    # temps and bf16 adds packing conversions, tools/profile_pl5.out);
+    # the f32 form compiles (566 s) and is what the cache holds.
+    dm_t = jnp.float32
+    kernel, in_len = _make_kernel(M, T, sps, tile_h, bf16_mats, dm_t)
     coef = _fold_coef(M, T)
     mat_t = jnp.bfloat16 if bf16_mats else jnp.float32
     Ce, Se = (jnp.asarray(a, mat_t) for a in _matrices(M, False))
     Co, So = (jnp.asarray(a, mat_t) for a in _matrices(M, True))
-    W = jnp.asarray(_dump_selector(tile_h, sps))
+    # W matches the demod buffer dtype: mixed-dtype dots would upcast
+    # the whole (386, M) operand into a scoped f32 VMEM temp.
+    W = jnp.asarray(_dump_selector(tile_h, sps), dm_t)
     nt = Nh // tile_h
     x_pl = jnp.swapaxes(jnp.asarray(x_ext, jnp.float32), 0, 1)
     need = (Nh - tile_h) * P + in_len + P
@@ -216,7 +226,7 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, in_len), jnp.float32),   # input double buffer
-            pltpu.VMEM((2, tile_h, M), jnp.float32),   # demod double buffer
+            pltpu.VMEM((2, tile_h, M), dm_t),          # demod double buffer
             pltpu.VMEM((2, M), jnp.float32),           # last-hop IQ carry
             pltpu.SemaphoreType.DMA((2,)),
         ],
