@@ -517,6 +517,54 @@ def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
     return jax.jit(lambda wp, st: step(wp, st))
 
 
+def make_sharded_closed_loop_stream(mesh: Mesh, spec: MultichannelSpec,
+                                    nblocks: int, frames: int = 2,
+                                    max_bursts: int = 2,
+                                    threshold: float = 0.55,
+                                    demod_halo: Optional[int] = None):
+    """Fused sharded closed loop: ONE jitted program that lax.scans
+    ``nblocks`` consecutive full-duplex BS steps (FOCC framing -> FSK ->
+    synthesis channelizer -> wideband -> sharded analysis -> demod ->
+    correlate -> decode) over the ('time', 'chan') mesh with ALL carried
+    state scan-resident on device — the multi-chip mirror of
+    runtime/streamer.make_closed_loop_stream: zero host involvement
+    between blocks, collectives (all_gather / all_to_all / halo
+    ppermute) ride the mesh every block, and the sustained number cannot
+    depend on host-tunnel bandwidth (GR's always-on work() contract,
+    lib/focc_impl.cc:583, at pod scale).
+
+    Returns (run, block_samples): ``run(word_pairs)`` with word_pairs
+    (M, frames, 2, 28) -> per-block (n_valid, quality_max, n_word_ok)
+    arrays of length nblocks; sustained Msps = nblocks * block_samples /
+    wall_time.  Scan iteration k matches the k-th manual
+    ``make_sharded_bs_stream_step`` call on the same state — counts
+    exactly, analog quality to float rounding (XLA fuses the scan body
+    differently from the standalone step)
+    (tests/test_parallel.py::test_sharded_closed_loop_matches_steps).
+    """
+    if demod_halo is None:
+        demod_halo = full_demod_halo(spec)
+    step = make_sharded_bs_stream_step(mesh, spec, demod_halo,
+                                       max_bursts, threshold)
+    Wk = mesh.shape["time"] * mesh.shape["chan"]
+    Phop = spec.num_channels // 2
+    n_hops = frames * 463 * 2 * spec.chan_sps
+    block_samples = -(-n_hops // Wk) * Wk * Phop
+
+    @jax.jit
+    def run(word_pairs):
+        def body(st, _):
+            out, st2 = step(word_pairs, st)
+            return st2, (jnp.sum(out["valid"]),
+                         jnp.max(out["quality"].astype(jnp.float32)),
+                         jnp.sum(out["word_ok"]))
+        _, outs = lax.scan(body, sharded_stream_state(spec, demod_halo),
+                           None, length=nblocks)
+        return outs
+
+    return run, block_samples
+
+
 def make_sharded_bs_step(mesh: Mesh, spec: MultichannelSpec,
                          demod_halo: Optional[int] = None,
                          max_bursts: int = 2,

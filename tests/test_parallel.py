@@ -327,3 +327,38 @@ def test_tx_multichannel_per_channel_bits():
             m = min(len(bits), bits_tx.shape[1])
             best = max(best, float((bits[:m] == bits_tx[k, :m]).mean()))
         assert best > 0.995, (k, best)
+
+
+def test_sharded_closed_loop_matches_steps():
+    """The fused lax.scan closed loop (make_sharded_closed_loop_stream)
+    matches manually iterating the sharded stream step block by block:
+    burst/word counts exactly, analog quality to float rounding."""
+    from amps_tpu.parallel.pipeline import (MultichannelSpec,
+                                            make_sharded_bs_stream_step,
+                                            make_sharded_closed_loop_stream,
+                                            sharded_stream_state)
+    from amps_tpu.tx.focc import superframe_word_pairs
+
+    mesh = make_mesh(MeshSpec(time=4, chan=2), jax.devices())
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=4)
+    frames, nblocks, halo = 2, 3, 128
+    pairs = superframe_word_pairs()[:frames]
+    word_pairs = np.broadcast_to(pairs, (8,) + pairs.shape).copy()
+
+    run, block_samples = make_sharded_closed_loop_stream(
+        mesh, spec, nblocks, frames=frames, max_bursts=1, demod_halo=halo)
+    n_valid, q_max, n_ok = jax.device_get(run(word_pairs))
+    assert n_valid.shape == (nblocks,)
+
+    step = make_sharded_bs_stream_step(mesh, spec, demod_halo=halo,
+                                       max_bursts=1)
+    st = sharded_stream_state(spec, halo)
+    for b in range(nblocks):
+        out, st = step(word_pairs, st)
+        assert np.asarray(out["tx_wideband"]).shape[0] == block_samples
+        assert int(np.asarray(out["valid"]).sum()) == int(n_valid[b])
+        # analog quality: XLA fuses the scan body differently from the
+        # standalone step, so equality is to float rounding, not bitwise
+        assert np.isclose(np.asarray(out["quality"], np.float32).max(),
+                          q_max[b], rtol=1e-5)
+        assert int(np.asarray(out["word_ok"]).sum()) == int(n_ok[b])

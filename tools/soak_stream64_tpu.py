@@ -41,7 +41,7 @@ emit(event="start", device=str(jax.devices()[0]), M=1024,
 pipe = spec.pipe
 fs = float(pipe.chan_rate)
 sens = 2 * np.pi * pipe.deviation_hz / fs
-Y = jnp.zeros((total_hops, 1024, 2), jnp.float32)
+Y = jnp.zeros((total_hops, spec.num_channels, 2), jnp.float32)
 meta = []
 for ev in events:
     dcc = int(rng.integers(0, 4))
