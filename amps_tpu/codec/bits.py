@@ -3,7 +3,17 @@ lib/amps_packet.h:118-143 and lib/utils.cc:101, as array ops)."""
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
+
+
+def expandbits_np(val: int, nbits: int) -> np.ndarray:
+    """Host (pure NumPy) MSB-first expansion: int -> (nbits,) uint8.
+
+    Same semantics as ``expandbits`` without a device dispatch — for
+    control-plane word building (lib/utils.cc:101)."""
+    shifts = np.arange(nbits - 1, -1, -1)
+    return ((int(val) >> shifts) & 1).astype(np.uint8)
 
 
 def expandbits(val, nbits: int):

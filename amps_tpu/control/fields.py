@@ -103,6 +103,18 @@ class RxWordCalled:
         return "".join(out)
 
 
+def encode_called_digits(s: str) -> int:
+    """Inverse of ``RxWordCalled.digits`` — Table 2.7.1-2 encode of up to
+    8 dialed digits into the 32-bit DIGITS field (mobile side; the BS
+    parser is lib/amps_packet.h:211-273)."""
+    inv = {c: v for v, c in _DIGITS.items()}
+    assert len(s) <= 8
+    v = 0
+    for i, c in enumerate(s):
+        v |= inv[c] << (28 - 4 * i)
+    return v
+
+
 # -- MIN codec (host) -------------------------------------------------------
 
 def _min3(d1: str, d2: str, d3: str) -> int:

@@ -129,7 +129,11 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         from amps_tpu import pallas as plk
         pallas_ok = plk.enabled()
     sps = spec.chan_sps
-    if pallas_ok and use_pallas != "v1" and sps == 3:
+    # v2 requires tile-aligned Nh (tile_h=384): the PADDED variant hits
+    # the 16 MB scoped-VMEM Mosaic compile OOM (tools/profile_pl5.out,
+    # ROADMAP item 4) and a failed remote Mosaic compile can wedge the
+    # chip — non-aligned shapes (e.g. the bench Nh=8192) take v1 below.
+    if pallas_ok and use_pallas != "v1" and sps == 3 and Nh % 384 == 0:
         # v2 fused front end (pallas/rx_phases_kernel.py): one kernel
         # from wideband IQ all the way to the integrate-and-dump phase
         # streams — neither the (2, M, Nh) analysis planes nor the
@@ -293,7 +297,10 @@ def sharded_stream_state(spec: MultichannelSpec, demod_halo: int):
     iq_carry: (2, M, demod_halo+1) per-channel IQ tail of the previous
               block (halo+1: one extra sample seeds the discriminator)
     syn_carry:(L-P, 2)  synthesis overlap-add tail (TX streaming)
-    parity:   ()        global hop parity at the block start
+    parity:   ()        RX hop parity at the block start
+    tx_parity:()        TX synthesis hop parity — separate from the RX
+              parity because with rx_external the two streams advance
+              by different hop counts (r2 advisor finding)
     """
     M, T = spec.num_channels, spec.taps_per_phase
     L, Phop = M * T, M // 2
@@ -302,6 +309,7 @@ def sharded_stream_state(spec: MultichannelSpec, demod_halo: int):
         "iq_carry": jnp.zeros((2, M, demod_halo + 1), jnp.float32),
         "syn_carry": jnp.zeros((L - Phop, 2), jnp.float32),
         "parity": jnp.zeros((), jnp.int32),
+        "tx_parity": jnp.zeros((), jnp.int32),
     }
 
 
@@ -420,12 +428,13 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         (starts, valid, quality, words, word_ok, chan_power, dcc_bits,
          bad_symbols, tails_x, tails_iq) = sharded(
             x, state["hist"], state["iq_carry"], state["parity"])
-        new_state = {
-            "hist": tails_x[-1],
-            "iq_carry": tails_iq[-1],
-            "syn_carry": state["syn_carry"],
-            "parity": (state["parity"] + x.shape[0] // Phop) % 2,
-        }
+        # pass through TX-side state (syn_carry, tx_parity) untouched
+        new_state = dict(state)
+        new_state.update(
+            hist=tails_x[-1],
+            iq_carry=tails_iq[-1],
+            parity=(state["parity"] + x.shape[0] // Phop) % 2,
+        )
         out = {"starts": starts, "valid": valid, "quality": quality,
                "words": words, "word_ok": word_ok,
                "chan_power": chan_power, "dcc_bits": dcc_bits,
@@ -505,10 +514,16 @@ def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
                    P(("time", "chan"), None, None)))
 
     def step(word_pairs, state, x_rx=None):
-        xl, tails = tx_sharded(word_pairs, state["syn_carry"],
-                               state["parity"])
+        # TX parity is its own state entry: with rx_external the RX
+        # stream advances parity by the RX block's hop count, which may
+        # differ from the TX synthesis hop count (r2 advisor finding)
+        tx_parity = state.get("tx_parity", state["parity"])
+        xl, tails = tx_sharded(word_pairs, state["syn_carry"], tx_parity)
         out, new_state = rx_step(x_rx if rx_external else xl, state)
+        n_tx = word_pairs.shape[1] * 463 * 2 * sps
+        npad = -(-n_tx // Wk) * Wk
         new_state["syn_carry"] = tails[-1]
+        new_state["tx_parity"] = (tx_parity + npad) % 2
         out["tx_wideband"] = xl
         return out, new_state
 

@@ -58,15 +58,21 @@ class ShardedReceiver:
         self._step = make_sharded_rx_stream_step(
             mesh, spec, self.ovr, max_bursts, threshold, policy)
         self._state = sharded_stream_state(spec, self.ovr)
-        self._rows_done = 0              # time rows consumed so far
+        # consumed demod samples so far (NOT rows * current row length:
+        # block lengths may vary between pushes — r2 advisor finding)
+        self._nh_done = 0
         self._last_seen = np.full(self.M, -10**12, np.int64)
         self._prev_power = np.zeros(self.M, np.float32)
+        self._last_block_len = 0
+        self._flushed = False
         self.reports: List[BurstReport] = []
 
     def push(self, x_block) -> List[BurstReport]:
         """Process one wideband block; returns new (deduplicated)
         burst reports in time order."""
+        assert not self._flushed, "push after flush()"
         x = jnp.asarray(x_block, jnp.float32)
+        self._last_block_len = int(x.shape[0])
         out, self._state = self._step(x, self._state)
         (starts, valid, quality, words, ok, bad, dccs, power) = \
             jax.device_get((out["starts"], out["valid"], out["quality"],
@@ -79,7 +85,7 @@ class ShardedReceiver:
         new: List[BurstReport] = []
         for r in range(self.tsize):
             # absolute channel-sample index of this row's window[0]
-            base = (self._rows_done + r) * nh_row - self.ovr
+            base = self._nh_done + r * nh_row - self.ovr
             prev_power = self._prev_power
             self._prev_power = power[r].astype(np.float32)
             for c in range(self.M):
@@ -106,6 +112,30 @@ class ShardedReceiver:
                     new.append(rep)
                     if self.on_burst:
                         self.on_burst(rep)
-        self._rows_done += self.tsize
+        self._nh_done += self.tsize * nh_row
         self.reports.extend(new)
         return new
+
+    def flush(self) -> List[BurstReport]:
+        """End-of-stream drain: a burst pending in the carried overlap
+        (capture extending past the last pushed block) is completed
+        against trailing silence and reported — the sharded mirror of
+        the reference's ring-buffer retention at shutdown
+        (lib/recc_impl.cc:104-126).  Word repeats that were fully
+        received decode normally; repeats lost to the stream end count
+        as bad symbols, exactly as if the mobile stopped transmitting.
+        After flush() the receiver is closed (push asserts)."""
+        if self._flushed:
+            return []
+        self._flushed = True
+        if self._last_block_len == 0:
+            return []
+        # one zero block of the last pushed block's length: satisfies the
+        # step's shape contract by construction and its demod span covers
+        # the full trigger+capture overlap for any pending burst
+        zeros = np.zeros((self._last_block_len, 2), np.float32)
+        self._flushed = False
+        try:
+            return self.push(zeros)
+        finally:
+            self._flushed = True

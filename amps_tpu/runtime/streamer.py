@@ -291,12 +291,14 @@ class MultichannelReceiver:
                            if self.supervision_slots else None)
         self.depth = max(1, pipeline_depth)
         self._inflight: List[dict] = []
+        self._last_block_len = 0
 
     def push(self, x_block) -> List[BurstReport]:
         """Process one wideband block ((N, 2), N % hop == 0); returns new
         (deduplicated) burst reports — of this block at depth 1, of
         blocks up to ``pipeline_depth``-1 behind otherwise."""
         x = jnp.asarray(x_block, jnp.float32)
+        self._last_block_len = int(x.shape[0])
         (starts, valid, quality, hard, self._hist, self._parity,
          self._carry, self._prev, _, chan_power, demod) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
@@ -318,9 +320,18 @@ class MultichannelReceiver:
             out.extend(self._drain_one(self._inflight.pop(0)))
         return out
 
-    def flush(self) -> List[BurstReport]:
-        """Drain every in-flight block (end of stream)."""
+    def flush(self, pad_tail: bool = False) -> List[BurstReport]:
+        """Drain every in-flight block (end of stream).
+
+        ``pad_tail``: first push one zero block so a burst pending in
+        the carried overlap (capture extending past the final block) is
+        completed against trailing silence and reported — the
+        reference's ring-buffer retention at shutdown
+        (lib/recc_impl.cc:104-126); mirrors ShardedReceiver.flush()."""
         out: List[BurstReport] = []
+        if pad_tail and self._last_block_len:
+            out.extend(self.push(np.zeros((self._last_block_len, 2),
+                                          np.float32)))
         while self._inflight:
             out.extend(self._drain_one(self._inflight.pop(0)))
         return out

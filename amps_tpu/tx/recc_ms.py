@@ -17,9 +17,10 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from amps_tpu.ref import words_ref
 from amps_tpu.codec.bch import recc_bch_encode
+from amps_tpu.codec.bits import expandbits_np
 from amps_tpu.codec.manchester import manchester_encode_symbols
+from amps_tpu.control.fields import encode_called_digits, parse_min
 
 # 553 coded-DCC table (2.6.1.2): 2-bit DCC -> 7-bit coded DCC.
 CODED_DCC = {
@@ -36,13 +37,13 @@ def ms_word_a(nawc: int, t: bool, s: bool, e: bool, er: bool, scm: int,
               min1: int) -> np.ndarray:
     w = np.zeros(36, dtype=np.uint8)
     w[0] = 1  # F: first word of the message
-    w[1:4] = words_ref.expandbits(3, nawc)
+    w[1:4] = expandbits_np(nawc, 3)
     w[4] = int(t)
     w[5] = int(s)
     w[6] = int(e)
     w[7] = int(er)
-    w[8:12] = words_ref.expandbits(4, scm)
-    w[12:36] = words_ref.expandbits(24, min1)
+    w[8:12] = expandbits_np(scm, 4)
+    w[12:36] = expandbits_np(min1, 24)
     return w
 
 
@@ -51,40 +52,40 @@ def ms_word_b(nawc: int, msg_type: int, ordq: int, order: int, lt: bool,
               min2: int) -> np.ndarray:
     w = np.zeros(36, dtype=np.uint8)
     w[0] = 0
-    w[1:4] = words_ref.expandbits(3, nawc)
-    w[4:9] = words_ref.expandbits(5, msg_type)
-    w[9:12] = words_ref.expandbits(3, ordq)
-    w[12:17] = words_ref.expandbits(5, order)
+    w[1:4] = expandbits_np(nawc, 3)
+    w[4:9] = expandbits_np(msg_type, 5)
+    w[9:12] = expandbits_np(ordq, 3)
+    w[12:17] = expandbits_np(order, 5)
     w[17] = int(lt)
     w[18] = int(ep)
     w[19] = scm4 & 1
-    w[20:22] = words_ref.expandbits(2, mpci)
-    w[22:24] = words_ref.expandbits(2, sdcc1)
-    w[24:26] = words_ref.expandbits(2, sdcc2)
-    w[26:36] = words_ref.expandbits(10, min2)
+    w[20:22] = expandbits_np(mpci, 2)
+    w[22:24] = expandbits_np(sdcc1, 2)
+    w[24:26] = expandbits_np(sdcc2, 2)
+    w[26:36] = expandbits_np(min2, 10)
     return w
 
 
 def ms_word_c_serial(nawc: int, serial: int) -> np.ndarray:
     w = np.zeros(36, dtype=np.uint8)
     w[0] = 0
-    w[1:4] = words_ref.expandbits(3, nawc)
-    w[4:36] = words_ref.expandbits(32, serial)
+    w[1:4] = expandbits_np(nawc, 3)
+    w[4:36] = expandbits_np(serial, 32)
     return w
 
 
 def ms_word_called(nawc: int, digits: str) -> np.ndarray:
     w = np.zeros(36, dtype=np.uint8)
     w[0] = 0
-    w[1:4] = words_ref.expandbits(3, nawc)
-    w[4:36] = words_ref.expandbits(32, words_ref.encode_called_digits(digits))
+    w[1:4] = expandbits_np(nawc, 3)
+    w[4:36] = expandbits_np(encode_called_digits(digits), 32)
     return w
 
 
 def page_response_words(min_str: str, scm: int = 0) -> List[np.ndarray]:
     """T=0 response (page response): words A+B (handled at
     lib/recc_decode_impl.cc:121,195)."""
-    min1, min2 = words_ref.parse_min(min_str)
+    min1, min2 = parse_min(min_str)
     return [
         ms_word_a(nawc=1, t=False, s=False, e=True, er=False, scm=scm,
                   min1=min1),
@@ -97,7 +98,7 @@ def registration_words(min_str: str, esn: Optional[int] = None,
                        scm: int = 0) -> List[np.ndarray]:
     """T=1 registration order (ORDER=0xd), optionally with serial word C
     (lib/recc_decode_impl.cc:123-138)."""
-    min1, min2 = words_ref.parse_min(min_str)
+    min1, min2 = parse_min(min_str)
     s = esn is not None
     nawc = 3 if s else 1
     out = [
@@ -115,7 +116,7 @@ def origination_words(min_str: str, dialed: str, esn: Optional[int] = None,
                       scm: int = 0) -> List[np.ndarray]:
     """T=1 origination with called-address words
     (lib/recc_decode_impl.cc:139-165)."""
-    min1, min2 = words_ref.parse_min(min_str)
+    min1, min2 = parse_min(min_str)
     s = esn is not None
     ncalled = max(1, -(-len(dialed) // 8))
     assert ncalled <= 4

@@ -362,3 +362,101 @@ def test_sharded_closed_loop_matches_steps():
         assert np.isclose(np.asarray(out["quality"], np.float32).max(),
                           q_max[b], rtol=1e-5)
         assert int(np.asarray(out["word_ok"]).sum()) == int(n_ok[b])
+
+
+def test_sharded_flush_reports_tail_pending_burst():
+    """VERDICT r2 item 3 / missing #2: a burst whose capture window
+    extends past the FINAL pushed block is deferred by the completeness
+    guard; flush() completes it against trailing silence and reports it
+    (the reference's ring-buffer retention at shutdown,
+    lib/recc_impl.cc:104-126) — bit-identically to the single-device
+    receiver's flush(pad_tail=True)."""
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedReceiver
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    Phop = 4
+    tsize, csize = 2, 2
+    nh_row = 12480
+    block_hops = tsize * nh_row
+    nblocks = 2
+    total_hops = nblocks * block_hops
+    # capture window (3374 sym = 10122 hops) extends ~4100 hops past the
+    # stream end, but both words of the page response are fully received
+    ev = MobileEvent("page_response", 3, total_hops - 6000, "4155559876")
+    x = synthesize_reverse_band([ev], spec, total_hops, noise_sigma=0.001)
+
+    mesh = make_mesh(MeshSpec(time=tsize, chan=csize), jax.devices()[:4])
+    sr = ShardedReceiver(mesh, spec, max_bursts=4, threshold=0.55,
+                         policy="first_ok", min_rssi=0.05)
+    pushed = []
+    for b in range(nblocks):
+        pushed += sr.push(x[b * block_hops * Phop:(b + 1) * block_hops * Phop])
+    assert pushed == []          # deferred: capture exceeds final block
+    flushed = sr.flush()
+    assert len(flushed) == 1
+    rep = flushed[0]
+    want = np.stack(ev.words())
+    assert rep.channel == 3
+    assert rep.word_ok[: len(want)].all()
+    assert np.array_equal(rep.words[: len(want)], want)
+    assert sr.flush() == []      # idempotent
+    with pytest.raises(AssertionError):
+        sr.push(x[:block_hops * Phop])
+
+    mr = MultichannelReceiver(spec, max_bursts=4, threshold=0.55,
+                              policy="first_ok", min_rssi=0.05)
+    mrep = []
+    for i in range(nblocks * tsize):
+        mrep += mr.push(x[i * nh_row * Phop:(i + 1) * nh_row * Phop])
+    assert mrep == []
+    mrep = mr.flush(pad_tail=True)
+    assert len(mrep) == 1
+    assert mrep[0].channel == rep.channel
+    assert mrep[0].abs_symbol == rep.abs_symbol
+    assert np.array_equal(mrep[0].words, rep.words)
+    assert np.array_equal(mrep[0].word_ok, rep.word_ok)
+
+
+def test_sharded_stream_variable_block_lengths():
+    """r2 advisor finding: absolute burst positions (and therefore dedup
+    and reported abs_symbol) must stay correct when successive pushed
+    blocks have DIFFERENT lengths — accumulated consumed samples, not
+    row-count x current row length."""
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedReceiver
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    Phop = 4
+    tsize, csize = 2, 2
+    # two blocks of distinct lengths (each row span >= halo + 1)
+    hops_a, hops_b = 2 * 10560, 2 * 14880
+    total_hops = hops_a + hops_b
+    events = [MobileEvent("page_response", 2, 4000, "4155559876"),
+              # burst inside block B: its absolute position is wrong if
+              # the receiver multiplies row count by block B's row length
+              MobileEvent("origination", 5, hops_a + 9000,
+                          "5551234567", "7025551000", esn=42)]
+    x = synthesize_reverse_band(events, spec, total_hops,
+                                noise_sigma=0.001)
+
+    mr = MultichannelReceiver(spec, max_bursts=4, threshold=0.55,
+                              policy="first_ok", min_rssi=0.05)
+    mr_reports = mr.push(x[:hops_a * Phop]) + mr.push(x[hops_a * Phop:])
+    mr_reports += mr.flush(pad_tail=True)
+
+    mesh = make_mesh(MeshSpec(time=tsize, chan=csize), jax.devices()[:4])
+    sr = ShardedReceiver(mesh, spec, max_bursts=4, threshold=0.55,
+                         policy="first_ok", min_rssi=0.05)
+    sr_reports = sr.push(x[:hops_a * Phop]) + sr.push(x[hops_a * Phop:])
+    sr_reports += sr.flush()
+
+    assert len(mr_reports) == len(events) == len(sr_reports)
+    for a, b in zip(mr_reports, sr_reports):
+        assert a.channel == b.channel and a.abs_symbol == b.abs_symbol
+        assert np.array_equal(a.words, b.words)
+        assert np.array_equal(a.word_ok, b.word_ok)

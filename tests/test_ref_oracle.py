@@ -201,3 +201,24 @@ def test_recc_burst_length():
             break
     assert found >= 0
     assert len(syms) - (found + n) == 3374
+
+
+def test_ref_quarantine_is_structural():
+    """ref/ is a test-only oracle (CLAUDE.md invariant): no product module
+    under amps_tpu/ (outside ref/ itself) may import amps_tpu.ref.
+    Guards the VERDICT r2 weak-5 leak (tx/recc_ms.py) from regressing."""
+    import pathlib
+    import re
+    root = pathlib.Path(__file__).resolve().parent.parent / "amps_tpu"
+    bad = []
+    for p in root.rglob("*.py"):
+        if (root / "ref") in p.parents:
+            continue
+        src = p.read_text()
+        for ln, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"^\s*(from\s+(amps_tpu\.ref|\.\.?ref)\b"
+                         r"|import\s+amps_tpu\.ref\b"
+                         r"|from\s+amps_tpu\s+import\s+.*\bref\b)", code):
+                bad.append(f"{p.relative_to(root.parent)}:{ln}: {line.strip()}")
+    assert not bad, "amps_tpu.ref imported from product code:\n" + "\n".join(bad)
