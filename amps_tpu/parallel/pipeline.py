@@ -444,26 +444,47 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
     return jax.jit(step)
 
 
+TX_SILENT, TX_FOCC, TX_SOURCE = 0, 1, 2   # per-channel TX slot modes
+
+
 def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
                                 demod_halo: Optional[int] = None,
                                 max_bursts: int = 2,
                                 threshold: float = 0.55,
                                 policy: str = "first_ok",
-                                rx_external: bool = False):
+                                rx_external: bool = False,
+                                tx_sources: bool = False):
     """Jitted sharded streaming FULL step: TX words -> wideband -> decode.
 
-    (word_pairs, state [, x_rx]) -> (out, new_state).  word_pairs:
-    (C, F, 2, 28) sharded over channels; the synthesized wideband is
-    produced and consumed inside one jit so XLA overlaps the collectives
-    with compute.  With ``rx_external`` the RX side consumes the extra
-    ``x_rx`` wideband argument (reverse band traffic) instead of the
-    TX loopback, while TX still synthesizes and carries its stream —
-    the full-duplex base-station shape.
+    (word_pairs, state [, src_mode, src_bb] [, x_rx]) -> (out, new_state).
+    word_pairs: (C, F, 2, 28) sharded over channels; the synthesized
+    wideband is produced and consumed inside one jit so XLA overlaps the
+    collectives with compute.  With ``rx_external`` the RX side consumes
+    the extra ``x_rx`` wideband argument (reverse band traffic) instead
+    of the TX loopback, while TX still synthesizes and carries its
+    stream — the full-duplex base-station shape.
+
+    With ``tx_sources`` the step takes two extra arguments and the TX
+    side carries the reference's FULL per-channel mix
+    (grc/ampsbs.grc:841-904: FOCC at its slot, FVC blank-and-burst /
+    voice+SAT on voice slots via the mute pair, silence elsewhere):
+      src_mode: (M,) int32 — TX_SILENT | TX_FOCC | TX_SOURCE per slot;
+      src_bb:   (n_hops, M, 2) riq source baseband (voice+SAT or FVC
+                burst FM, e.g. runtime/sources.VoiceFvcSlot output) used
+                for TX_SOURCE slots.
+    Without it every channel transmits FOCC (the ">=1000 FOCCs"
+    bench shape).
+
+    The TX hop count (frames * 463 * 2 * sps) must divide by the worker
+    ring; in-stream zero padding is NOT allowed — it would insert
+    silence gaps in the continuous wideband and break parity with the
+    single-device transmitter (GR's gapless work() contract,
+    lib/focc_impl.cc:583).
 
     Streaming: carries analyzer history, per-channel IQ (demod + burst
-    overlap), synthesis overlap-add carry, and hop parity across calls
+    overlap), synthesis overlap-add carry, and hop parities across calls
     — N consecutive steps form one continuous TX stream and one
-    continuous RX stream (GR's work() contract, lib/focc_impl.cc:583).
+    continuous RX stream.
     """
     M, T, L, Phop, tsize, csize, c_loc, split = _mesh_consts(mesh, spec)
     sps = spec.chan_sps
@@ -476,24 +497,18 @@ def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
                                           max_bursts, threshold, policy)
     Wk = tsize * csize
 
-    def tx_local(wp, syn_carry, parity):
-        # wp: (c_loc, F, 2, 28) on this chan rank, replicated over
-        # time: framing + FSK modulation is genuinely chan-sharded.
-        # (The FSK phase accumulator needs no carry: Manchester bits
-        # are DC-balanced so superframe boundaries are a fixed point.)
-        bits = focc_frame_bits(wp)                       # (c_loc, nb)
-        bb, _ = fsk_manchester_baseband(bits, sps, sens)  # (c_loc, n, 2)
+    def tx_core(bb, syn_carry, parity):
+        # bb: (c_loc, n, 2) this chan rank's per-channel TX baseband
         # gather all channels (the synthesis transform needs all M)
         bb_all = lax.all_gather(bb, "chan", axis=0, tiled=True)  # (M, n, 2)
         Y = jnp.swapaxes(bb_all, 0, 1)                   # (n, M, 2)
         n = Y.shape[0]
-        # pad the hop stream up to the worker ring (trailing hops
-        # synthesize silence; harmless to the per-channel stages)
-        npad = -(-n // Wk) * Wk
-        if npad != n:
-            Y = jnp.concatenate(
-                [Y, jnp.zeros((npad - n, M, 2), jnp.float32)], axis=0)
-        n_sub = npad // Wk
+        assert n % Wk == 0, (
+            f"TX hop stream ({n} = frames*463*2*sps) must divide by the "
+            f"worker ring ({Wk}): pick a frame count with "
+            f"frames*{463 * 2 * sps} % {Wk} == 0 — zero padding would "
+            f"insert silence gaps in the continuous TX wideband")
+        n_sub = n // Wk
         w = lax.axis_index("time") * csize + lax.axis_index("chan")
         Yl = lax.dynamic_slice_in_dim(Y, w * n_sub, n_sub, axis=0)
         xl, tail = chz._synthesize_block(
@@ -507,28 +522,60 @@ def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
         xl = overlap_add_with_carry(xl, tail, ("time", "chan"), syn_carry)
         return xl, tail[None]
 
-    tx_sharded = shard_map(
-        tx_local, mesh=mesh,
-        in_specs=(P("chan", None, None, None), P(None, None), P()),
-        out_specs=(P(("time", "chan"), None),
-                   P(("time", "chan"), None, None)))
+    def _focc_bb(wp):
+        # wp: (c_loc, F, 2, 28) on this chan rank, replicated over
+        # time: framing + FSK modulation is genuinely chan-sharded.
+        # (The FSK phase accumulator needs no carry: Manchester bits
+        # are DC-balanced so superframe boundaries are a fixed point.)
+        bits = focc_frame_bits(wp)                       # (c_loc, nb)
+        bb, _ = fsk_manchester_baseband(bits, sps, sens)  # (c_loc, n, 2)
+        return bb
 
-    def step(word_pairs, state, x_rx=None):
+    if tx_sources:
+        def tx_local(wp, mode, src, syn_carry, parity):
+            sel = mode[:, None, None]                    # (c_loc, 1, 1)
+            bb = (jnp.where(sel == TX_FOCC, _focc_bb(wp), 0.0)
+                  + jnp.where(sel == TX_SOURCE,
+                              jnp.swapaxes(src, 0, 1), 0.0))
+            return tx_core(bb, syn_carry, parity)
+
+        tx_sharded = shard_map(
+            tx_local, mesh=mesh,
+            in_specs=(P("chan", None, None, None), P("chan"),
+                      P(None, "chan", None), P(None, None), P()),
+            out_specs=(P(("time", "chan"), None),
+                       P(("time", "chan"), None, None)))
+    else:
+        def tx_local(wp, syn_carry, parity):
+            return tx_core(_focc_bb(wp), syn_carry, parity)
+
+        tx_sharded = shard_map(
+            tx_local, mesh=mesh,
+            in_specs=(P("chan", None, None, None), P(None, None), P()),
+            out_specs=(P(("time", "chan"), None),
+                       P(("time", "chan"), None, None)))
+
+    def step(word_pairs, state, tx_extra=(), x_rx=None):
         # TX parity is its own state entry: with rx_external the RX
         # stream advances parity by the RX block's hop count, which may
         # differ from the TX synthesis hop count (r2 advisor finding)
         tx_parity = state.get("tx_parity", state["parity"])
-        xl, tails = tx_sharded(word_pairs, state["syn_carry"], tx_parity)
+        xl, tails = tx_sharded(word_pairs, *tx_extra,
+                               state["syn_carry"], tx_parity)
         out, new_state = rx_step(x_rx if rx_external else xl, state)
         n_tx = word_pairs.shape[1] * 463 * 2 * sps
-        npad = -(-n_tx // Wk) * Wk
         new_state["syn_carry"] = tails[-1]
-        new_state["tx_parity"] = (tx_parity + npad) % 2
+        new_state["tx_parity"] = (tx_parity + n_tx) % 2
         out["tx_wideband"] = xl
         return out, new_state
 
+    if tx_sources and rx_external:
+        return jax.jit(lambda wp, st, mode, src, x_rx: step(
+            wp, st, (mode, src), x_rx))
+    if tx_sources:
+        return jax.jit(lambda wp, st, mode, src: step(wp, st, (mode, src)))
     if rx_external:
-        return jax.jit(step)
+        return jax.jit(lambda wp, st, x_rx: step(wp, st, (), x_rx))
     return jax.jit(lambda wp, st: step(wp, st))
 
 
@@ -536,7 +583,8 @@ def make_sharded_closed_loop_stream(mesh: Mesh, spec: MultichannelSpec,
                                     nblocks: int, frames: int = 2,
                                     max_bursts: int = 2,
                                     threshold: float = 0.55,
-                                    demod_halo: Optional[int] = None):
+                                    demod_halo: Optional[int] = None,
+                                    rx_external: bool = False):
     """Fused sharded closed loop: ONE jitted program that lax.scans
     ``nblocks`` consecutive full-duplex BS steps (FOCC framing -> FSK ->
     synthesis channelizer -> wideband -> sharded analysis -> demod ->
@@ -556,26 +604,48 @@ def make_sharded_closed_loop_stream(mesh: Mesh, spec: MultichannelSpec,
     exactly, analog quality to float rounding (XLA fuses the scan body
     differently from the standalone step)
     (tests/test_parallel.py::test_sharded_closed_loop_matches_steps).
+
+    With ``rx_external`` the run takes a second argument x_rx of shape
+    (nblocks, N_rx, 2): each scan iteration transmits one TX block AND
+    decodes one reverse-band block — the full-duplex shape with real
+    traffic instead of the FOCC loopback.
     """
     if demod_halo is None:
         demod_halo = full_demod_halo(spec)
     step = make_sharded_bs_stream_step(mesh, spec, demod_halo,
-                                       max_bursts, threshold)
+                                       max_bursts, threshold,
+                                       rx_external=rx_external)
     Wk = mesh.shape["time"] * mesh.shape["chan"]
     Phop = spec.num_channels // 2
     n_hops = frames * 463 * 2 * spec.chan_sps
-    block_samples = -(-n_hops // Wk) * Wk * Phop
+    assert n_hops % Wk == 0, (n_hops, Wk)
+    block_samples = n_hops * Phop
 
-    @jax.jit
-    def run(word_pairs):
-        def body(st, _):
-            out, st2 = step(word_pairs, st)
-            return st2, (jnp.sum(out["valid"]),
-                         jnp.max(out["quality"].astype(jnp.float32)),
-                         jnp.sum(out["word_ok"]))
-        _, outs = lax.scan(body, sharded_stream_state(spec, demod_halo),
-                           None, length=nblocks)
-        return outs
+    def _summary(out):
+        return (jnp.sum(out["valid"]),
+                jnp.max(out["quality"].astype(jnp.float32)),
+                jnp.sum(out["word_ok"]))
+
+    if rx_external:
+        @jax.jit
+        def run(word_pairs, x_rx):
+            def body(st, xb):
+                out, st2 = step(word_pairs, st, xb)
+                return st2, _summary(out)
+            _, outs = lax.scan(body,
+                               sharded_stream_state(spec, demod_halo),
+                               x_rx)
+            return outs
+    else:
+        @jax.jit
+        def run(word_pairs):
+            def body(st, _):
+                out, st2 = step(word_pairs, st)
+                return st2, _summary(out)
+            _, outs = lax.scan(body,
+                               sharded_stream_state(spec, demod_halo),
+                               None, length=nblocks)
+            return outs
 
     return run, block_samples
 

@@ -53,10 +53,13 @@ class ShardedReceiver:
                     else demod_halo)
         self.min_rssi = min_rssi
         self.on_burst = on_burst
+        self.mesh = mesh
+        self.max_bursts = max_bursts
+        self.threshold = threshold
+        self.policy = policy
         self.tsize = mesh.shape["time"]
         self._hop = self.M // 2
-        self._step = make_sharded_rx_stream_step(
-            mesh, spec, self.ovr, max_bursts, threshold, policy)
+        self._step = self._make_step()
         self._state = sharded_stream_state(spec, self.ovr)
         # consumed demod samples so far (NOT rows * current row length:
         # block lengths may vary between pushes — r2 advisor finding)
@@ -67,6 +70,11 @@ class ShardedReceiver:
         self._flushed = False
         self.reports: List[BurstReport] = []
 
+    def _make_step(self):
+        return make_sharded_rx_stream_step(
+            self.mesh, self.spec, self.ovr, self.max_bursts,
+            self.threshold, self.policy)
+
     def push(self, x_block) -> List[BurstReport]:
         """Process one wideband block; returns new (deduplicated)
         burst reports in time order."""
@@ -74,6 +82,12 @@ class ShardedReceiver:
         x = jnp.asarray(x_block, jnp.float32)
         self._last_block_len = int(x.shape[0])
         out, self._state = self._step(x, self._state)
+        return self._extract_reports(out, int(x.shape[0]))
+
+    def _extract_reports(self, out, n_samples: int) -> List[BurstReport]:
+        """Host-side report discipline shared with ShardedTransceiver:
+        per-row windows in time order, carry-aware rssi ghost gate,
+        dedup by absolute position."""
         (starts, valid, quality, words, ok, bad, dccs, power) = \
             jax.device_get((out["starts"], out["valid"], out["quality"],
                             out["words"], out["word_ok"],
@@ -81,7 +95,7 @@ class ShardedReceiver:
                             out["chan_power"]))
         quality = np.asarray(quality, np.float32)
         power = np.asarray(power, np.float32)
-        nh_row = (x.shape[0] // self._hop) // self.tsize
+        nh_row = (n_samples // self._hop) // self.tsize
         new: List[BurstReport] = []
         for r in range(self.tsize):
             # absolute channel-sample index of this row's window[0]
@@ -137,5 +151,109 @@ class ShardedReceiver:
         self._flushed = False
         try:
             return self.push(zeros)
+        finally:
+            self._flushed = True
+
+
+class ShardedTransceiver(ShardedReceiver):
+    """Full-duplex sharded base-station stream: the multi-chip mirror of
+    MultichannelTransmitter + MultichannelReceiver in ONE jitted step.
+
+    TX side carries the reference's complete per-channel mix
+    (grc/ampsbs.grc:841-904): FOCC superframes on control channels
+    (host FoccStream word queues, exactly like MultichannelTransmitter),
+    source baseband (voice+SAT / FVC blank-and-burst via
+    runtime/sources.VoiceFvcSlot) on slots given a source, silence
+    elsewhere.  RX side consumes external reverse-band wideband with the
+    full ShardedReceiver report discipline.
+
+    ``push(x_rx)`` -> (tx_wideband, reports): one block of the
+    continuous TX stream (``superframes_per_block`` superframes — the
+    smallest count whose hop stream divides the worker ring, so the
+    wideband is gapless) and the decoded reverse-band bursts.
+    """
+
+    def __init__(self, mesh: Mesh, spec: MultichannelSpec,
+                 system=None, control_channels=None,
+                 superframes_per_block: Optional[int] = None,
+                 **rx_kwargs):
+        from math import gcd
+        from amps_tpu.config import SystemConfig
+        from amps_tpu.tx.focc import FoccStream
+
+        self.system = system or SystemConfig()
+        self._tx_step = None     # created lazily after super().__init__
+        super().__init__(mesh, spec, **rx_kwargs)
+        M = spec.num_channels
+        Wk = mesh.shape["time"] * mesh.shape["chan"]
+        ctrl = (list(control_channels) if control_channels is not None
+                else list(range(M)))
+        self.focc = {k: FoccStream(self.system, sps=self.sps)
+                     for k in ctrl}
+        any_stream = next(iter(self.focc.values()))
+        F = any_stream.frames_per_superframe
+        hops_per_sf = F * 463 * 2 * self.sps
+        if superframes_per_block is None:
+            superframes_per_block = Wk // gcd(hops_per_sf, Wk)
+        assert superframes_per_block * hops_per_sf % Wk == 0
+        self.superframes_per_block = superframes_per_block
+        self.frames_per_block = F * superframes_per_block
+        self.n_hops_block = hops_per_sf * superframes_per_block
+        self._sources = {}
+        self._mode = np.full((M,), 0, np.int32)          # TX_SILENT
+        for k in ctrl:
+            self._mode[k] = 1                            # TX_FOCC
+
+    def _make_step(self):
+        from amps_tpu.parallel.pipeline import make_sharded_bs_stream_step
+        return make_sharded_bs_stream_step(
+            self.mesh, self.spec, self.ovr, self.max_bursts,
+            self.threshold, self.policy, rx_external=True,
+            tx_sources=True)
+
+    def set_channel_source(self, k: int, source) -> None:
+        """Install a baseband source for slot k: source(n_hops) ->
+        (n_hops, 2) riq (e.g. runtime/sources.VoiceFvcSlot)."""
+        assert k not in self.focc, "slot already carries FOCC"
+        self._sources[k] = source
+        self._mode[k] = 2                                # TX_SOURCE
+
+    def push(self, x_rx):
+        """One full-duplex block: synthesize the next
+        ``superframes_per_block`` superframes of the TX mix and decode
+        one reverse-band block.  Returns (tx_wideband, reports)."""
+        assert not self._flushed, "push after flush()"
+        M = self.M
+        wp = np.zeros((M, self.frames_per_block, 2, 28), np.uint8)
+        for k, st in self.focc.items():
+            wp[k] = np.concatenate(
+                [st.next_word_pairs()
+                 for _ in range(self.superframes_per_block)], axis=0)
+        src = np.zeros((self.n_hops_block, M, 2), np.float32)
+        for k, source in self._sources.items():
+            src[:, k] = np.asarray(source(self.n_hops_block), np.float32)
+        x = jnp.asarray(x_rx, jnp.float32)
+        self._last_block_len = int(x.shape[0])
+        out, self._state = self._step(
+            jnp.asarray(wp), self._state, jnp.asarray(self._mode),
+            jnp.asarray(src), x)
+        reports = self._extract_reports(out, int(x.shape[0]))
+        return np.asarray(out["tx_wideband"]), reports
+
+    def flush(self) -> List[BurstReport]:
+        """RX end-of-stream drain (see ShardedReceiver.flush).  The TX
+        side synthesizes one more block while draining (it transmits
+        continuously until shutdown, like the reference's always-on
+        work() loop); that final wideband block is discarded."""
+        if self._flushed:
+            return []
+        self._flushed = True
+        if self._last_block_len == 0:
+            return []
+        zeros = np.zeros((self._last_block_len, 2), np.float32)
+        self._flushed = False
+        try:
+            _, reports = self.push(zeros)
+            return reports
         finally:
             self._flushed = True
