@@ -65,6 +65,13 @@ class MultichannelSpec:
     # the derived quality plane (the find stage's dominant HBM traffic)
     # in bfloat16; quality only feeds a threshold compare + argmax.
     corr_bf16: bool = False
+    # post-capture trigger verification gate (correlator.trigger_errors):
+    # candidates whose sliced trigger mismatches the exact 74-symbol
+    # pattern in more than this many places are invalid — the memmem
+    # exactness of lib/recc_impl.cc:118, restored after correlation
+    # admitted rare pre-burst false triggers (tools/triage_stream64.out).
+    # <0 disables.
+    max_trigger_errors: int = correlator.MAX_TRIGGER_ERRORS
 
     @property
     def chz_spec(self) -> chz.ChannelizerSpec:
@@ -146,6 +153,8 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
                                                    tile_h=384)
         starts, valid, quality = correlator.find_bursts_phases(
             phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+        valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
+                                              spec.max_trigger_errors)
         hard, _ = correlator.extract_from_phases(
             phases, starts, sps,
             hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
@@ -192,6 +201,8 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     phases = correlator.symbol_phase_streams(demod, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+    valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
+                                          spec.max_trigger_errors)
     hard, soft = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
@@ -243,6 +254,8 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
     phases = correlator.symbol_phase_streams(demod, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+    valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
+                                          spec.max_trigger_errors)
     hard, _ = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
@@ -390,6 +403,8 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         phases = correlator.symbol_phase_streams(dsp, sps)
         starts, valid, quality = correlator.find_bursts_phases(
             phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
+        valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
+                                              spec.max_trigger_errors)
         # completeness guard: a capture cut off by this row's window is
         # re-found complete by the right neighbor (via its halo) or the
         # next block (via iq_carry)

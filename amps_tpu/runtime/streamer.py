@@ -45,13 +45,15 @@ def decode_dcc(bits7) -> int:
 
 @functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
                                              "want_demod", "bf16", "split",
-                                             "fold", "io_bf16", "corr_bf16"))
+                                             "fold", "io_bf16", "corr_bf16",
+                                             "trig_gate"))
 def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
                      M: int, T: int, sps: int, max_bursts: int,
                      threshold: float, want_demod: bool = False,
                      bf16: bool = False, split: int = 0,
                      fold: str = "conv", io_bf16: bool = False,
-                     corr_bf16: bool = False):
+                     corr_bf16: bool = False,
+                     trig_gate: int = correlator.MAX_TRIGGER_ERRORS):
     """One streaming RX step with carried state.
 
     x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
@@ -87,6 +89,8 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     phases = correlator.symbol_phase_streams(dsp, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=corr_bf16)
+    valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
+                                          trig_gate)
     # only report bursts whose full capture fits this window; one cut off
     # by the block edge is re-found complete in the next block's overlap
     valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
@@ -167,6 +171,8 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
             starts, valid, quality = correlator.find_bursts_phases(
                 phases, sps, max_bursts, threshold,
                 out_bf16=spec.corr_bf16)
+            valid = correlator.apply_trigger_gate(
+                valid, phases, starts, sps, spec.max_trigger_errors)
             valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                              <= demod.shape[-1])
             hard, _ = correlator.extract_from_phases(
@@ -307,7 +313,8 @@ class MultichannelReceiver:
                         or bool(self.supervision_slots)),
             bf16=self.spec.transform_bf16, split=self._split,
             fold=self.spec.fold, io_bf16=self.spec.io_bf16,
-            corr_bf16=self.spec.corr_bf16)
+            corr_bf16=self.spec.corr_bf16,
+            trig_gate=self.spec.max_trigger_errors)
         dec = decoder.decode_bursts(hard, policy=self.policy)
         # enqueue DEVICE arrays only — no host sync here; the sync
         # happens when the entry is drained, depth-1 blocks later

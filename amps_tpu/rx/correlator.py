@@ -300,6 +300,91 @@ def find_bursts_phases(phases, sps: int, max_bursts: int = 4,
     return starts, valid, peaks
 
 
+@functools.partial(jax.jit, static_argnames=("sps",))
+def trigger_errors(phases, starts, sps: int):
+    """Post-capture trigger verification: hard-slice the 74 trigger
+    symbols PRECEDING each candidate start and count mismatches against
+    the exact trigger pattern — the TPU equivalent of the reference's
+    exact ``memmem`` symbol match (lib/recc_impl.cc:118), which can
+    never fire on silence or misaligned data.
+
+    Why it exists (stream64 triage, tools/triage_stream64.out): under
+    CFO + deep fading the normalized correlation occasionally clears the
+    threshold a few hundred symbols BEFORE a real burst (or on noise).
+    Such a false candidate becomes complete-in-window one small block
+    earlier than the true burst, reports first, and the position dedup
+    then swallows the true report — a word_ok=True wrong-word delivery.
+    The false capture's trigger region is silence/noise (~50% symbol
+    mismatches); a genuinely decodable burst slices its trigger almost
+    perfectly.  Gating candidates on this count removes the false
+    trigger before it can consume the dedup slot.
+
+    phases: (..., sps, nsym); starts: (..., K) in SAMPLE units (first
+    capture sample).  Returns (..., K) int32 mismatch counts over the
+    in-window part of the trigger; symbols before the window start are
+    not counted (callers scale the threshold by TRIGGER_SYMBOLS).
+
+    Implementation: the same blocked one-hot selection + binary-shift
+    realign as extract_from_phases (no gathers, no full-width one-hot —
+    the selector is (..., K, 2, sps*nb), a few hundred lanes wide).
+    """
+    B = SYM_BLOCK
+    nsym = phases.shape[-1]
+    nb = -(-nsym // B)
+    batch = phases.shape[:-2]
+    ph_pad = jnp.concatenate(
+        [phases, jnp.zeros(batch + (phases.shape[-2], nb * B - nsym),
+                           phases.dtype)], axis=-1)
+    blocks = ph_pad.reshape(batch + (phases.shape[-2] * nb, B))
+    st = jnp.asarray(starts, jnp.int32)
+    ph = st % sps
+    t0 = st // sps - TRIGGER_SYMBOLS                 # trigger start sym
+    n_cut = jnp.maximum(-t0, 0)                      # symbols before win
+    b0 = ph * nb + t0 // B                           # floor div: t0 < 0 ok
+    r = t0 % B                                       # Python semantics: >= 0
+    nout = 2                                         # 74+127 < 2*128
+    tgt = b0[..., None] + jnp.arange(nout)           # (..., K, 2)
+    # keep only phase ph's own block range; before-window or next-phase
+    # targets select nothing -> zero symbols (masked by `avail` below)
+    in_range = (tgt >= ph[..., None] * nb) & (tgt < (ph + 1)[..., None] * nb)
+    tgt = jnp.where(in_range, tgt, phases.shape[-2] * nb)
+    sel = (tgt[..., None] == jnp.arange(phases.shape[-2] * nb)) \
+        .astype(blocks.dtype)
+    coarse = jnp.einsum("...kjb,...bl->...kjl", sel, blocks,
+                        preferred_element_type=jnp.float32)
+    flat = coarse.reshape(batch + (st.shape[-1], nout * B))
+    for bit in range(B.bit_length() - 1):            # realign by r < B
+        amt = 1 << bit
+        shifted = jnp.concatenate(
+            [flat[..., amt:],
+             jnp.zeros(flat.shape[:-1] + (amt,), flat.dtype)], axis=-1)
+        flat = jnp.where((r[..., None] & amt) > 0, shifted, flat)
+    soft = flat[..., :TRIGGER_SYMBOLS]               # (..., K, 74)
+    # Manchester pairs are DC-balanced per bit, so the window mean is an
+    # unbiased DC (CFO) estimate over the trigger itself
+    dc = jnp.mean(soft, axis=-1, keepdims=True)
+    hard = soft >= dc
+    patt = jnp.asarray(trigger_template(1) > 0)      # (74,) expected
+    # count mismatches only over symbols actually inside the window
+    avail = jnp.arange(TRIGGER_SYMBOLS) >= n_cut[..., None]
+    return jnp.sum((hard != patt) & avail, axis=-1).astype(jnp.int32)
+
+
+# Default gate: a real burst that decodes slices its trigger with ~0-5
+# mismatches even at the BER floor; silence/misaligned windows score
+# ~37/74.  12 sits far from both distributions (validated by the
+# impaired soaks re-run after the gate landed).
+MAX_TRIGGER_ERRORS = 12
+
+
+def apply_trigger_gate(valid, phases, starts, sps: int, max_err: int):
+    """valid &= (trigger slices exactly, within max_err mismatches);
+    max_err < 0 disables the gate."""
+    if max_err < 0:
+        return valid
+    return valid & (trigger_errors(phases, starts, sps) <= max_err)
+
+
 SYM_BLOCK = 128    # symbols per integrate-and-dump matmul block
 
 

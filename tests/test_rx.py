@@ -334,3 +334,54 @@ def test_batched_small_bank_rx_matches_single():
         want = np.stack(evs[g][0].words())
         assert np.array_equal(
             np.asarray(out["words"][g][3][0])[: len(want)], want)
+
+
+def test_trigger_verification_gate():
+    """Post-capture trigger verification (stream64 triage fix): the
+    sliced 74-symbol trigger of a real candidate matches the exact
+    pattern (~0 mismatches, memmem-equivalence, lib/recc_impl.cc:118);
+    a candidate pointing into pre-burst silence/noise scores ~50%
+    mismatches and is gated out of `valid` by apply_trigger_gate."""
+    import jax.numpy as jnp
+    from amps_tpu.config import PipelineConfig
+    from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+    from amps_tpu.rx import correlator
+    from amps_tpu.tx import recc_ms
+
+    pipe = PipelineConfig()
+    sps = pipe.chan_sps
+    words = recc_ms.page_response_words("4155559876")
+    syms = recc_ms.burst_symbols(words, dcc=1, sps=sps)
+    sens = 2 * np.pi * pipe.deviation_hz / pipe.chan_rate
+    bb, _ = fm_modulate_symbols(syms.astype(np.int8), sens)
+    bb = np.asarray(bb)
+    off = 6000
+    iq = np.zeros((off + len(bb) + 4000, 2), np.float32)
+    iq[off: off + len(bb)] = bb
+    rng = np.random.default_rng(5)
+    iq += rng.normal(0, 0.005, iq.shape).astype(np.float32)
+    demod = np.asarray(quadrature_demod(jnp.asarray(iq))[0])
+
+    phases = correlator.symbol_phase_streams(jnp.asarray(demod), sps)
+    starts, valid, quality = correlator.find_bursts_phases(
+        phases[None], sps, max_bursts=2, threshold=0.55)
+    assert bool(np.asarray(valid)[0, 0])
+    true_start = int(np.asarray(starts)[0, 0])
+
+    cand = jnp.asarray([[true_start, true_start - 1200]], jnp.int32)
+    errs = np.asarray(correlator.trigger_errors(phases[None], cand, sps))
+    assert errs[0, 0] <= 3, errs          # real trigger: near-exact
+    assert errs[0, 1] >= 20, errs         # silence: ~half mismatch
+    v = np.asarray(correlator.apply_trigger_gate(
+        jnp.asarray([[True, True]]), phases[None], cand, sps,
+        correlator.MAX_TRIGGER_ERRORS))
+    assert v.tolist() == [[True, False]]
+    # disabled gate passes everything through
+    v = np.asarray(correlator.apply_trigger_gate(
+        jnp.asarray([[True, True]]), phases[None], cand, sps, -1))
+    assert v.tolist() == [[True, True]]
+    # partial window (start near the stream head): only in-window
+    # symbols are counted, so the count stays bounded by availability
+    cand2 = jnp.asarray([[30, 100]], jnp.int32)
+    errs2 = np.asarray(correlator.trigger_errors(phases[None], cand2, sps))
+    assert (errs2 <= correlator.TRIGGER_SYMBOLS).all()
