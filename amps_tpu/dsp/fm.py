@@ -136,6 +136,10 @@ def quadrature_demod_planar(xr, xi, gain: float = 1.0, prev=None,
     re = xr * sr + xi * si
     im = xi * sr - xr * si
     demod = fast_atan2(im, re) * jnp.float32(gain)
+    if return_power == "series":
+        # per-sample |x[n]|^2|x[n-1]|^2 series, aligned with demod —
+        # callers reduce it per burst extent (correlator.burst_rssi)
+        return demod, (xr[..., -1], xi[..., -1]), re * re + im * im
     if return_power:
         power = jnp.sqrt(jnp.mean(re * re + im * im, axis=-1))
         return demod, (xr[..., -1], xi[..., -1]), power

@@ -164,6 +164,9 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
             "words": dec.words, "word_ok": dec.word_ok,
             "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
             "chan_power": chan_power,
+            # fused kernels expose only the block mean; per-burst rssi
+            # rides the XLA path (correlator.burst_rssi)
+            "rssi": jnp.broadcast_to(chan_power[..., None], starts.shape),
         }
     if pallas_ok:
         from amps_tpu.pallas.rx_front_kernel import analyze_demod_pallas
@@ -171,6 +174,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
             [jnp.zeros((M * T - P, 2), jnp.float32),
              jnp.asarray(x, jnp.float32)], axis=0)
         demod, chan_power = analyze_demod_pallas(x_ext, M, T, tile_h=128)
+        pw_series = None                      # fused kernel: mean only
         if not spec.io_bf16:
             demod = demod.astype(jnp.float32)
     else:
@@ -189,8 +193,9 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         # idle channel demodulating a strong neighbor's (or numerical)
         # leakage decodes cleanly (FM is amplitude-invariant) but at
         # 20+ dB lower power; see runtime/streamer.BurstReport.rssi
-        demod, _, chan_power = quadrature_demod_planar(
-            yr, yi, return_power=True)                   # (C, Nh), (C,)
+        demod, _, pw_series = quadrature_demod_planar(
+            yr, yi, return_power="series")               # (C, Nh) each
+        chan_power = jnp.sqrt(jnp.mean(pw_series, axis=-1))
         if spec.io_bf16:
             demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
@@ -207,11 +212,14 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
     dec = decoder.decode_bursts(hard, policy)            # batched (C, K, ...)
+    rssi = (correlator.burst_rssi(pw_series, starts, sps)
+            if pw_series is not None
+            else jnp.broadcast_to(chan_power[..., None], starts.shape))
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,
         "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
-        "chan_power": chan_power,
+        "chan_power": chan_power, "rssi": rssi,
     }
 
 
@@ -246,8 +254,9 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
         planar=True)                                     # (G, 2, M, Nh)
     if spec.io_bf16:
         ypl = ypl.astype(jnp.bfloat16)
-    demod, _, chan_power = quadrature_demod_planar(
-        ypl[:, 0], ypl[:, 1], return_power=True)         # (G, M, Nh)
+    demod, _, pw_series = quadrature_demod_planar(
+        ypl[:, 0], ypl[:, 1], return_power="series")     # (G, M, Nh)
+    chan_power = jnp.sqrt(jnp.mean(pw_series, axis=-1))
     if spec.io_bf16:
         demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
@@ -260,11 +269,12 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
     dec = decoder.decode_bursts(hard, policy)            # (G, C, K, ...)
+    rssi = correlator.burst_rssi(pw_series, starts, sps)
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,
         "dcc_bits": dec.dcc_bits, "bad_symbols": dec.bad_symbols,
-        "chan_power": chan_power,
+        "chan_power": chan_power, "rssi": rssi,
     }
 
 
@@ -390,8 +400,10 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
                                         sample_axis=2)
         if spec.io_bf16:
             yext = yext.astype(jnp.bfloat16)
-        demod, _ = quadrature_demod_planar(yext[0], yext[1])
+        demod, _, pw = quadrature_demod_planar(yext[0], yext[1],
+                                               return_power="series")
         demod = demod[:, 1:]                             # drop seed sample
+        pw = pw[:, 1:].astype(jnp.float32)               # aligned with demod
         # fresh-only band power, the same discriminator conjugate
         # product the single-device streamer reports as rssi
         fr, fi = ymine[0], ymine[1]
@@ -410,6 +422,10 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         # next block (via iq_carry)
         valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                          <= demod.shape[-1])
+        # per-burst band power over each candidate's own capture extent
+        # (the block mean cannot separate an FM-capture ghost from a
+        # real burst sharing the block — correlator.burst_rssi)
+        rssi = correlator.burst_rssi(pw, starts, sps)
         hard, _ = correlator.extract_from_phases(
             phases, starts, sps,
             hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
@@ -421,7 +437,7 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         # leading local time axis so out_specs assemble global shapes
         return (starts[None], valid[None], quality[None],
                 dec.words[None], dec.word_ok[None], chan_power[None],
-                dec.dcc_bits[None], dec.bad_symbols[None],
+                dec.dcc_bits[None], dec.bad_symbols[None], rssi[None],
                 tail_x[None], tail_iq[None])
 
     sharded = shard_map(
@@ -436,12 +452,13 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
                    P("time", "chan"),
                    P("time", "chan", None, None),
                    P("time", "chan", None, None),
+                   P("time", "chan", None),
                    P(("time", "chan"), None, None),
                    P("time", None, "chan", None)))
 
     def step(x, state):
         (starts, valid, quality, words, word_ok, chan_power, dcc_bits,
-         bad_symbols, tails_x, tails_iq) = sharded(
+         bad_symbols, rssi, tails_x, tails_iq) = sharded(
             x, state["hist"], state["iq_carry"], state["parity"])
         # pass through TX-side state (syn_carry, tx_parity) untouched
         new_state = dict(state)
@@ -453,7 +470,7 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         out = {"starts": starts, "valid": valid, "quality": quality,
                "words": words, "word_ok": word_ok,
                "chan_power": chan_power, "dcc_bits": dcc_bits,
-               "bad_symbols": bad_symbols}
+               "bad_symbols": bad_symbols, "rssi": rssi}
         return out, new_state
 
     return jax.jit(step)

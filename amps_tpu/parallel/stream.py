@@ -65,7 +65,6 @@ class ShardedReceiver:
         # block lengths may vary between pushes — r2 advisor finding)
         self._nh_done = 0
         self._last_seen = np.full(self.M, -10**12, np.int64)
-        self._prev_power = np.zeros(self.M, np.float32)
         self._last_block_len = 0
         self._flushed = False
         self.reports: List[BurstReport] = []
@@ -88,29 +87,25 @@ class ShardedReceiver:
         """Host-side report discipline shared with ShardedTransceiver:
         per-row windows in time order, carry-aware rssi ghost gate,
         dedup by absolute position."""
-        (starts, valid, quality, words, ok, bad, dccs, power) = \
+        (starts, valid, quality, words, ok, bad, dccs, rssi_pb) = \
             jax.device_get((out["starts"], out["valid"], out["quality"],
                             out["words"], out["word_ok"],
                             out["bad_symbols"], out["dcc_bits"],
-                            out["chan_power"]))
+                            out["rssi"]))
         quality = np.asarray(quality, np.float32)
-        power = np.asarray(power, np.float32)
+        rssi_pb = np.asarray(rssi_pb, np.float32)
         nh_row = (n_samples // self._hop) // self.tsize
         new: List[BurstReport] = []
         for r in range(self.tsize):
             # absolute channel-sample index of this row's window[0]
             base = self._nh_done + r * nh_row - self.ovr
-            prev_power = self._prev_power
-            self._prev_power = power[r].astype(np.float32)
             for c in range(self.M):
                 for k in range(starts.shape[2]):
                     if not valid[r, c, k]:
                         continue
-                    in_carry = int(starts[r, c, k]) < self.ovr
-                    if in_carry:
-                        rssi = float(max(power[r, c], prev_power[c]))
-                    else:
-                        rssi = float(power[r, c])
+                    # per-burst rssi over the candidate's own capture
+                    # extent (device-side, correlator.burst_rssi)
+                    rssi = float(rssi_pb[r, c, k])
                     if rssi < self.min_rssi:
                         continue
                     abs_sample = base + int(starts[r, c, k])

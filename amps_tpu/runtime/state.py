@@ -28,7 +28,7 @@ def snapshot_receiver(rx) -> Dict[str, np.ndarray]:
         "prev": np.asarray(rx._prev),
         "abs_base": np.int64(rx._abs_base),
         "last_seen": rx._last_seen.copy(),
-        "prev_power": rx._prev_power.copy(),
+        "pw_carry": np.asarray(rx._pw_carry),
         "sup_carry": (rx._sup_carry.copy() if rx._sup_carry is not None
                       else np.zeros((0, 0), np.float32)),
     }
@@ -42,8 +42,8 @@ def restore_receiver(snap, rx) -> None:
     rx._prev = jnp.asarray(snap["prev"])
     rx._abs_base = int(snap["abs_base"])
     rx._last_seen = np.asarray(snap["last_seen"]).copy()
-    if "prev_power" in snap:
-        rx._prev_power = np.asarray(snap["prev_power"]).copy()
+    if "pw_carry" in snap:   # older checkpoints: keep the fresh zeros
+        rx._pw_carry = jnp.asarray(snap["pw_carry"])
     if "sup_carry" in snap and rx._sup_carry is not None:
         sc = np.asarray(snap["sup_carry"], np.float32)
         if sc.shape[0] == rx._sup_carry.shape[0]:

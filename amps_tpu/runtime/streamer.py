@@ -47,7 +47,7 @@ def decode_dcc(bits7) -> int:
                                              "want_demod", "bf16", "split",
                                              "fold", "io_bf16", "corr_bf16",
                                              "trig_gate"))
-def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
+def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq, pw_carry,
                      M: int, T: int, sps: int, max_bursts: int,
                      threshold: float, want_demod: bool = False,
                      bf16: bool = False, split: int = 0,
@@ -59,8 +59,11 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
     demod_carry: (M, OVR) demod overlap from the previous block.
     prev_iq: (M, 2) last channel sample for discriminator continuity.
+    pw_carry: (M, OVR) envelope-power-series overlap (per-burst rssi
+    over the same window coordinates as demod).
     Returns (starts, valid, quality, hard, new_hist, new_parity,
-    new_carry, new_prev, n_new_demod).
+    new_carry, new_prev, n_new_demod, chan_power, rssi, new_pw_carry,
+    demod?).
     """
     h = jnp.asarray(chz.prototype_taps(M, T))
     x_ext = jnp.concatenate([hist, x], axis=0)
@@ -73,11 +76,13 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     # callers reject FM "capture" ghosts (an idle channel demodulating
     # a strong neighbor's sideband leakage decodes cleanly but at
     # ~20+ dB lower power) with zero extra reads of the channel planes
-    demod_new, (lr, li), chan_power = quadrature_demod_planar(
+    demod_new, (lr, li), pw_new = quadrature_demod_planar(
         yr, yi, 1.0, (prev_iq[:, 0], prev_iq[:, 1]),
-        return_power=True)                                 # (M, Nh)
+        return_power="series")                             # (M, Nh)
+    chan_power = jnp.sqrt(jnp.mean(pw_new, axis=-1))
     last = jnp.stack([lr, li], axis=-1)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
+    pw = jnp.concatenate([pw_carry, pw_new], axis=-1)      # demod-aligned
     # one integrate-and-dump pass shared by symbol-domain detection and
     # capture (see correlator.find_bursts_phases); no zero pad — the
     # extractor zero-fills past the stream tail, and the completeness
@@ -95,15 +100,20 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq,
     # by the block edge is re-found complete in the next block's overlap
     valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                      <= demod.shape[-1])
+    # per-burst band power over each candidate's own capture extent —
+    # the block mean cannot separate an FM-capture ghost from a real
+    # burst sharing the block (correlator.burst_rssi)
+    rssi = correlator.burst_rssi(pw, starts, sps)
     hard, _ = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if io_bf16 else jnp.uint8)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
+    new_pw_carry = pw[:, -ovr:] if ovr > 0 else pw[:, :0]
     new_hist = x_ext[-(M * T - M // 2):]
     new_parity = (hop_parity + Nh) % 2
     return (starts, valid, quality, hard, new_hist, new_parity,
-            new_carry, last, Nh, chan_power,
+            new_carry, last, Nh, chan_power, rssi, new_pw_carry,
             demod_new if want_demod else None)
 
 
@@ -272,17 +282,17 @@ class MultichannelReceiver:
         self._hist = jnp.zeros((M * T - M // 2, 2), jnp.float32)
         self._parity = jnp.int32(0)
         self._carry = jnp.zeros((M, self.ovr), jnp.float32)
+        self._pw_carry = jnp.zeros((M, self.ovr), jnp.float32)
         self._prev = jnp.zeros((M, 2), jnp.float32)
         self._abs_base = -self.ovr  # demod[0]'s absolute channel-sample idx
         self._last_seen = np.full(M, -10**12, np.int64)
-        # previous block's per-channel band power: a burst cut by the
-        # block edge is deferred (completeness guard) and re-found in
-        # the NEXT block's carry, whose new samples may be idle — the
-        # rssi ghost gate must consider the block the burst actually
-        # transmitted in (found at 420-burst scale: a real registration
-        # was dropped with power 0.028 < min_rssi while its own block
-        # measured 0.79, tools/soak_long_tpu.out / /tmp/ch35 repro)
-        self._prev_power = np.zeros(M, np.float32)
+        # rssi is measured per burst over the candidate's own capture
+        # extent (pw_carry keeps the power series continuous across
+        # blocks), which subsumes the old prev-block power vouching: a
+        # burst deferred into the next block's carry is judged on its
+        # own samples wherever they were received (the r2 420-burst
+        # finding), and an idle-channel ghost cannot ride a louder
+        # burst's block power (the stream64 probe finding)
         self.reports: List[BurstReport] = []
         self._tap = open(tap_demod_path, "ab") if tap_demod_path else None
         self.supervision_slots = tuple(supervision_slots)
@@ -306,8 +316,10 @@ class MultichannelReceiver:
         x = jnp.asarray(x_block, jnp.float32)
         self._last_block_len = int(x.shape[0])
         (starts, valid, quality, hard, self._hist, self._parity,
-         self._carry, self._prev, _, chan_power, demod) = _rx_stream_block(
+         self._carry, self._prev, _, chan_power, rssi, self._pw_carry,
+         demod) = _rx_stream_block(
             x, self._hist, self._parity, self._carry, self._prev,
+            self._pw_carry,
             self.M, self.T, self.sps, self.max_bursts, self.threshold,
             want_demod=(self._tap is not None
                         or bool(self.supervision_slots)),
@@ -320,7 +332,8 @@ class MultichannelReceiver:
         # happens when the entry is drained, depth-1 blocks later
         self._inflight.append(dict(
             starts=starts, valid=valid, quality=quality, dec=dec,
-            power=chan_power, demod=demod, abs_base=self._abs_base))
+            power=chan_power, rssi=rssi, demod=demod,
+            abs_base=self._abs_base))
         self._abs_base += x.shape[0] // (self.M // 2)
         out: List[BurstReport] = []
         while len(self._inflight) >= self.depth:
@@ -375,27 +388,23 @@ class MultichannelReceiver:
         # block — measured 285 ms/block on this tunnel vs ~35 with the
         # batched get, tools/stream_rate_tpu.out); on local links it
         # still collapses 8 syncs into 1
-        (starts, valid, quality, words, ok, bad, dccs, power) = \
+        (starts, valid, quality, words, ok, bad, dccs, rssi_pb) = \
             jax.device_get((e["starts"], e["valid"], e["quality"],
                             dec.words, dec.word_ok, dec.bad_symbols,
-                            dec.dcc_bits, e["power"]))
+                            dec.dcc_bits, e["rssi"]))
         quality = np.asarray(quality, np.float32)
-        prev_power = self._prev_power
-        self._prev_power = power.astype(np.float32)
+        rssi_pb = np.asarray(rssi_pb, np.float32)
         out = []
         for c in range(self.M):
             for k in range(starts.shape[1]):
                 if not valid[c, k]:
                     continue
-                # a burst starting in the carry region transmitted in
-                # the PREVIOUS block — judge its rssi there; bursts in
-                # fresh samples keep this block's strict gate (else a
-                # loud previous block would let ghosts through)
-                in_carry = int(starts[c, k]) < self.ovr
-                if in_carry:
-                    rssi = float(max(power[c], prev_power[c]))
-                else:
-                    rssi = float(power[c])
+                # per-burst rssi: measured over THIS candidate's own
+                # capture extent on device (correlator.burst_rssi), so
+                # carry-region bursts are judged on their own samples
+                # and an idle-channel ghost cannot ride a louder
+                # neighbor burst's block power
+                rssi = float(rssi_pb[c, k])
                 if rssi < self.min_rssi:
                     continue
                 abs_sample = e["abs_base"] + int(starts[c, k])

@@ -370,11 +370,12 @@ def trigger_errors(phases, starts, sps: int):
     return jnp.sum((hard != patt) & avail, axis=-1).astype(jnp.int32)
 
 
-# Default gate: a real burst that decodes slices its trigger with ~0-5
+# Default gate: a real burst that decodes slices its trigger with ~0-3
 # mismatches even at the BER floor; silence/misaligned windows score
-# ~37/74.  12 sits far from both distributions (validated by the
-# impaired soaks re-run after the gate landed).
-MAX_TRIGGER_ERRORS = 12
+# ~37/74, and the chip-only bf16-leakage FM-capture ghosts of the
+# stream64 probe (tools/probe_gate_tpu.out) scored 8-14.  6 separates
+# all observed populations.
+MAX_TRIGGER_ERRORS = 6
 
 
 def apply_trigger_gate(valid, phases, starts, sps: int, max_err: int):
@@ -383,6 +384,47 @@ def apply_trigger_gate(valid, phases, starts, sps: int, max_err: int):
     if max_err < 0:
         return valid
     return valid & (trigger_errors(phases, starts, sps) <= max_err)
+
+
+RSSI_BLOCK = 384   # power-series samples per rssi block (128 sym @ sps 3)
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
+def burst_rssi(pw_series, starts, sps: int):
+    """Per-candidate band power over the candidate's OWN capture extent.
+
+    A per-block per-channel mean rssi cannot separate an adjacent-
+    channel FM-capture ghost from a real burst sharing the block with
+    one (the ghost rides the real burst's power — stream64 probe,
+    tools/probe_gate_tpu.out); measuring over [start, start+capture)
+    restores the 20+ dB ghost/real separation regardless of what else
+    the channel carried that block.
+
+    pw_series: (..., n) per-sample squared-envelope-product series
+    (quadrature_demod_planar(..., return_power="series")), aligned with
+    the demod window the starts index into; starts: (..., K) sample
+    units.  Returns sqrt(mean) over the capture extent, (..., K) f32 —
+    the same units as the old block-mean rssi.
+    """
+    B = RSSI_BLOCK
+    n = pw_series.shape[-1]
+    nb = -(-n // B)
+    batch = pw_series.shape[:-1]
+    pw = jnp.asarray(pw_series, jnp.float32)
+    pad = nb * B - n
+    if pad:
+        pw = jnp.concatenate(
+            [pw, jnp.zeros(batch + (pad,), jnp.float32)], axis=-1)
+    blk = jnp.mean(pw.reshape(batch + (nb, B)), axis=-1)   # (..., nb)
+    st = jnp.asarray(starts, jnp.int32)
+    b0 = st // B
+    nsel = CAPTURE_SYMBOLS * sps // B + 1                  # 27 blocks
+    tgt = b0[..., None] + jnp.arange(nsel)                 # (..., K, nsel)
+    tgt = jnp.where(tgt < nb, tgt, nb)
+    sel = (tgt[..., None] == jnp.arange(nb)).astype(jnp.float32)
+    picked = jnp.einsum("...kjb,...b->...kj", sel, blk,
+                        preferred_element_type=jnp.float32)
+    return jnp.sqrt(jnp.mean(picked, axis=-1))
 
 
 SYM_BLOCK = 128    # symbols per integrate-and-dump matmul block

@@ -205,7 +205,7 @@ def test_resilient_final_failure_leaves_ring_clean():
         _hist = np.zeros((4, 2)); _parity = 0
         _carry = np.zeros((2, 6)); _prev = np.zeros((2, 2))
         _abs_base = 0; _last_seen = np.zeros(2, np.int64)
-        _prev_power = np.zeros(2, np.float32); _sup_carry = None
+        _pw_carry = np.zeros((2, 6), np.float32); _sup_carry = None
 
         def push(self, blk):
             raise Boom()
