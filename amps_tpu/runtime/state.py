@@ -190,3 +190,45 @@ def load_station(path: str, bs) -> None:
         sup._alert_t = float(alert)
         sup._st_seen_in_alert = bool(seen)
         bs.supervisors[c] = sup
+
+
+def snapshot_sharded_receiver(rx) -> Dict[str, np.ndarray]:
+    """parallel/stream.ShardedReceiver (or ShardedTransceiver) carried
+    state as host arrays — the sharded mirror of snapshot_receiver.
+    The device state dict (analyzer history, per-channel IQ halo,
+    synthesis carry, hop parities) plus the host report discipline
+    (consumed-sample counter, dedup tracking)."""
+    snap: Dict[str, np.ndarray] = {
+        "kind": np.asarray("sharded_receiver"),
+        "nh_done": np.int64(rx._nh_done),
+        "last_seen": rx._last_seen.copy(),
+        "last_block_len": np.int64(rx._last_block_len),
+        "flushed": np.int64(rx._flushed),
+    }
+    for k, v in rx._state.items():
+        snap[f"st_{k}"] = np.asarray(v)
+    return snap
+
+
+def restore_sharded_receiver(snap, rx) -> None:
+    """Restore into a freshly constructed ShardedReceiver with the same
+    mesh/spec; the resumed stream is indistinguishable from an
+    uninterrupted one (tests/test_state.py)."""
+    assert str(snap["kind"]) == "sharded_receiver"
+    rx._nh_done = int(snap["nh_done"])
+    rx._last_seen = np.asarray(snap["last_seen"]).copy()
+    rx._last_block_len = int(snap["last_block_len"])
+    rx._flushed = bool(snap["flushed"])
+    rx._state = {k[3:]: jnp.asarray(snap[k]) for k in snap.files
+                 if k.startswith("st_")} if hasattr(snap, "files") else {
+        k[3:]: jnp.asarray(v) for k, v in snap.items()
+        if k.startswith("st_")}
+
+
+def save_sharded_receiver(path: str, rx) -> None:
+    np.savez(path, **snapshot_sharded_receiver(rx))
+
+
+def load_sharded_receiver(path: str, rx) -> None:
+    z = np.load(path, allow_pickle=False)
+    restore_sharded_receiver(z, rx)
