@@ -72,6 +72,17 @@ class MultichannelSpec:
     # admitted rare pre-burst false triggers (tools/triage_stream64.out).
     # <0 disables.
     max_trigger_errors: int = correlator.MAX_TRIGGER_ERRORS
+    # erasure gate for 5-repeat word combining (rx/decoder.py): a repeat
+    # with more than this many Manchester violations (of 48 pairs) is
+    # excluded from BCH selection and the majority vote — kills
+    # word_ok=True aliased decodes of noise repeats (the (48,36) code
+    # "decodes" pure noise with p~0.29; observed on chip,
+    # tools/soak_stream64_v2_run1.out).  <0 disables.
+    repeat_gate: int = 6
+
+    @property
+    def decode_repeat_gate(self) -> Optional[int]:
+        return None if self.repeat_gate < 0 else int(self.repeat_gate)
 
     @property
     def chz_spec(self) -> chz.ChannelizerSpec:
@@ -158,7 +169,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         hard, _ = correlator.extract_from_phases(
             phases, starts, sps,
             hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-        dec = decoder.decode_bursts(hard, policy)
+        dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)
         return {
             "starts": starts, "valid": valid, "quality": quality,
             "words": dec.words, "word_ok": dec.word_ok,
@@ -211,7 +222,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     hard, soft = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-    dec = decoder.decode_bursts(hard, policy)            # batched (C, K, ...)
+    dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # batched (C, K, ...)
     rssi = (correlator.burst_rssi(pw_series, starts, sps)
             if pw_series is not None
             else jnp.broadcast_to(chan_power[..., None], starts.shape))
@@ -268,7 +279,7 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
     hard, _ = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-    dec = decoder.decode_bursts(hard, policy)            # (G, C, K, ...)
+    dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # (G, C, K, ...)
     rssi = correlator.burst_rssi(pw_series, starts, sps)
     return {
         "starts": starts, "valid": valid, "quality": quality,
@@ -429,7 +440,7 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         hard, _ = correlator.extract_from_phases(
             phases, starts, sps,
             hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-        dec = decoder.decode_bursts(hard, policy)
+        dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)
         # carried state pieces: only the LAST worker's wideband tail and
         # the LAST time row's IQ tails survive (sliced outside shard_map)
         tail_x = x_ext[-(L - Phop):]

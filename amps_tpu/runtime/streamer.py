@@ -188,7 +188,7 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
             hard, _ = correlator.extract_from_phases(
                 phases, starts, sps,
                 hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
-            dec = decoder.decode_bursts(hard)
+            dec = decoder.decode_bursts(hard, repeat_gate=spec.decode_repeat_gate)
             nc = st["carry"].shape[-1]
             st2 = {
                 "syn_carry": syn_tail,
@@ -327,7 +327,7 @@ class MultichannelReceiver:
             fold=self.spec.fold, io_bf16=self.spec.io_bf16,
             corr_bf16=self.spec.corr_bf16,
             trig_gate=self.spec.max_trigger_errors)
-        dec = decoder.decode_bursts(hard, policy=self.policy)
+        dec = decoder.decode_bursts(hard, policy=self.policy, repeat_gate=self.spec.decode_repeat_gate)
         # enqueue DEVICE arrays only — no host sync here; the sync
         # happens when the entry is drained, depth-1 blocks later
         self._inflight.append(dict(

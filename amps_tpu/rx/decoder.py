@@ -13,6 +13,21 @@ one batched syndrome matmul and then select per policy:
   behavior named in BASELINE.json).  If the majority word fails BCH we
   fall back to first_ok.
 
+ERASURE-GATED COMBINING (``repeat_gate``): a repeat whose own 48
+Manchester pairs violate the code in more than ``repeat_gate`` places is
+noise (a clean repeat has ~0 violations; pure noise ~24 of 48, so a gate
+of 6 sits >5 sigma below the noise mean) and is EXCLUDED from both the
+first_ok ranking and the majority vote.  Rationale: the (48,36) code has
+1177 decodable syndromes of 4096, so a *noise* repeat BCH-"succeeds"
+with p~0.29 — the reference's sequential fallback
+(lib/recc_decode_impl.cc:100-107) will then deliver an aliased word with
+ok=True before ever reaching a later clean repeat.  Observed on chip:
+tools/soak_stream64_v2_run1.out (word 1 selected with 73/240 bad
+symbols, word_ok=True, wrong bits).  With the gate, noisy repeats are
+erasures: first_ok picks the first *clean* decodable repeat, majority
+votes only among clean repeats, and a word with zero clean decodable
+repeats is honestly word_ok=False.
+
 Parsing uses the BCH-corrected bits — the reference parses the *raw first
 repeat* (lib/recc_decode_impl.cc:112,117) and ignores the corrected output
 it just computed; SURVEY.md §7 marks that a bug to fix consciously.
@@ -99,11 +114,16 @@ def _pair_bad(sym_f, n_sym: int):
                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("policy",))
-def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
+@functools.partial(jax.jit, static_argnames=("policy", "repeat_gate"))
+def decode_bursts(symbols, policy: str = "first_ok",
+                  repeat_gate: int | None = None) -> DecodedBurst:
     """Decode (..., 3374) sliced RECC captures.  ``symbols`` may be any
     0/1 dtype; bfloat16 input (e.g. straight from the burst extractor's
-    one-hot capture matmul) is consumed with no cast at all."""
+    one-hot capture matmul) is consumed with no cast at all.
+
+    ``repeat_gate``: erasure gate — repeats with more than this many
+    Manchester violations (of 48 pairs) are excluded from selection and
+    voting (see module docstring); None disables (legacy behavior)."""
     s = jnp.asarray(symbols)
     if s.dtype != jnp.bfloat16:
         s = s.astype(jnp.bfloat16)
@@ -122,6 +142,15 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
     # pipeline, tools/profile_dec9.out)
     g = packed_lut_lookup(idx, recc_decode_table_packed())
 
+    swr = sw.reshape(batch + (NUM_WORDS, NUM_REPEATS, 2 * WORD_CODED_BITS))
+    # per-repeat Manchester violation counts (48 pairs each); the legacy
+    # per-word bad_symbols field is their sum (bit-identical: the word
+    # slot's even pair offsets never straddle a repeat boundary)
+    rep_bad = _pair_bad(swr, 2 * WORD_CODED_BITS)         # (..., 7, 5)
+    elig = None
+    if repeat_gate is not None:
+        elig = rep_bad <= jnp.int32(repeat_gate)          # (..., 7, 5)
+
     # Select-then-correct: rank the 5 repeats on their packed syndrome
     # LUT values, one-hot select the winning repeat's SYMBOLS + LUT
     # value, and build the <=2-bit error pattern ONCE for the selected
@@ -131,11 +160,12 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
     # syndromes carry sentinel positions (255) that flip nothing, so
     # not-ok words still pass through their raw first-repeat bits.
     ok = (g & (1 << 16)) != 0
+    if elig is not None:
+        ok = ok & elig
     first_idx = jnp.argmax(ok, axis=-1)                   # (..., 7)
     any_ok = jnp.any(ok, axis=-1)
     onehot = (jnp.arange(NUM_REPEATS) == first_idx[..., None])
     g_sel = jnp.sum(g * onehot, axis=-1)                  # (..., 7)
-    swr = sw.reshape(batch + (NUM_WORDS, NUM_REPEATS, 2 * WORD_CODED_BITS))
     rep_sym = jnp.einsum("...r,...rs->...s", onehot.astype(s.dtype), swr,
                          preferred_element_type=jnp.float32)  # (..., 7, 96)
     rep_bits = (1.0 - rep_sym[..., 0::2]).astype(jnp.uint8)   # (..., 7, 48)
@@ -144,11 +174,25 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
     if policy == "first_ok":
         words, used, wok = first_words, first_idx, any_ok
     elif policy == "majority":
-        # votes = sum over repeats of bits = 5 - sum of even symbols
-        ssum = jnp.sum(swr.astype(jnp.float32), axis=-2)  # (..., 7, 96)
-        votes = NUM_REPEATS - ssum[..., 0::2]
-        maj = (votes * 2 > NUM_REPEATS).astype(jnp.uint8)
+        # votes = sum over (eligible) repeats of bits = n - sum of even
+        # symbols; with the gate, ineligible repeats are erasures and the
+        # vote is among the clean repeats only
+        if elig is None:
+            ssum = jnp.sum(swr.astype(jnp.float32), axis=-2)  # (..., 7, 96)
+            votes = NUM_REPEATS - ssum[..., 0::2]
+            nvote = jnp.float32(NUM_REPEATS)
+        else:
+            w_el = elig.astype(jnp.float32)                   # (..., 7, 5)
+            ssum = jnp.einsum("...r,...rs->...s", w_el,
+                              swr.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            n_el = jnp.sum(w_el, axis=-1)                     # (..., 7)
+            votes = n_el[..., None] - ssum[..., 0::2]
+            nvote = n_el[..., None]
+        maj = (votes * 2 > nvote).astype(jnp.uint8)
         mdec, mok = recc_bch_decode(maj)
+        if elig is not None:
+            mok = mok & (n_el > 0)
         words = jnp.where(mok[..., None], mdec, first_words)
         used = jnp.where(mok, jnp.int32(-1), first_idx)   # -1 = majority
         wok = mok | any_ok
@@ -166,12 +210,13 @@ def decode_bursts(symbols, policy: str = "first_ok") -> DecodedBurst:
                         preferred_element_type=jnp.float32)
     dcc_bits = (1.0 - picked).astype(jnp.uint8)
     dcc_bad = _pair_bad(s[..., : 2 * DCC_BITS], 2 * DCC_BITS)
-    word_bad = _pair_bad(sw, WORD_SYMBOLS)                # (..., 7)
+    word_bad = jnp.sum(rep_bad, axis=-1)                  # (..., 7)
 
     bad = jnp.concatenate([dcc_bad[..., None], word_bad], axis=-1)
     return DecodedBurst(dcc_bits, words, wok, used, bad.astype(jnp.int32))
 
 
-def decode_burst(symbols, policy: str = "first_ok") -> DecodedBurst:
+def decode_burst(symbols, policy: str = "first_ok",
+                 repeat_gate: int | None = None) -> DecodedBurst:
     """Single-capture convenience wrapper."""
-    return decode_bursts(symbols, policy)
+    return decode_bursts(symbols, policy, repeat_gate)

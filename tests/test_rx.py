@@ -385,3 +385,54 @@ def test_trigger_verification_gate():
     cand2 = jnp.asarray([[30, 100]], jnp.int32)
     errs2 = np.asarray(correlator.trigger_errors(phases[None], cand2, sps))
     assert (errs2 <= correlator.TRIGGER_SYMBOLS).all()
+
+
+def test_repeat_gate_kills_bch_aliased_noise_repeats():
+    """Erasure-gated 5-repeat combining (rx/decoder.py repeat_gate).
+
+    The (48,36) code decodes PURE NOISE with p~0.29 per repeat, so the
+    reference's sequential fallback (lib/recc_decode_impl.cc:100-107)
+    delivers an aliased word_ok=True wrong word whenever a noise repeat
+    precedes the first clean one — the chip-observed stream64 misdecode
+    class (tools/soak_stream64_v2_run1.out).  With the gate, noise
+    repeats (>=~24 of 48 Manchester violations) are erasures: selection
+    and the majority vote use clean repeats only, and a word with zero
+    clean decodable repeats is honestly word_ok=False."""
+    words = recc_ms.page_response_words("5551234567")
+    syms = recc_ms.burst_symbols(words, dcc=0, sps=1)
+    idle = np.tile(np.array([1, -1], np.int8), 250)
+    stream = np.concatenate([idle, syms, idle]).astype(np.float32)
+    starts, valid, q = correlator.find_bursts(stream, 1, max_bursts=2)
+    assert np.asarray(valid)[0]
+    hard, _ = correlator.extract_burst_symbols(
+        np.pad(stream, (0, correlator.CAPTURE_SYMBOLS)), starts, 1)
+    cap = np.asarray(hard)[0].astype(np.uint8)
+    W = 1                      # corrupt word 1 (word 0 stays a control)
+    base = 14 + W * 480
+    aliased = 0
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        c = cap.copy()
+        for r in range(3):     # repeats 0-2 noise, 3-4 clean
+            c[base + 96 * r: base + 96 * (r + 1)] = rng.integers(0, 2, 96)
+        for policy in ("first_ok", "majority"):
+            d0 = decoder.decode_bursts(c, policy)
+            if (np.asarray(d0.word_ok)[W]
+                    and not np.array_equal(np.asarray(d0.words)[W],
+                                           words[W])):
+                aliased += 1   # ungated: wrong word delivered as ok
+            d1 = decoder.decode_bursts(c, policy, repeat_gate=6)
+            assert np.asarray(d1.word_ok)[W], (seed, policy)
+            assert np.array_equal(np.asarray(d1.words)[W], words[W]), \
+                (seed, policy)
+            # untouched words unaffected by the gate
+            assert np.asarray(d1.word_ok)[0]
+            assert np.array_equal(np.asarray(d1.words)[0], words[0])
+        # all 5 repeats noise: gated decode must refuse, both policies
+        for r in range(3, 5):
+            c[base + 96 * r: base + 96 * (r + 1)] = rng.integers(0, 2, 96)
+        for policy in ("first_ok", "majority"):
+            d2 = decoder.decode_bursts(c, policy, repeat_gate=6)
+            assert not np.asarray(d2.word_ok)[W], (seed, policy)
+    # the hazard is real: ungated decodes deliver aliased words
+    assert aliased >= 6, aliased
