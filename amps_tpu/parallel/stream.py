@@ -45,13 +45,15 @@ class ShardedReceiver:
                  max_bursts: int = 4, threshold: float = 0.55,
                  policy: str = "majority",
                  demod_halo: Optional[int] = None,
-                 min_rssi: float = 0.0):
+                 min_rssi: float = 0.0,
+                 require_word_a: bool = True):
         self.spec = spec
         self.M = spec.num_channels
         self.sps = spec.chan_sps
         self.ovr = (full_demod_halo(spec) if demod_halo is None
                     else demod_halo)
         self.min_rssi = min_rssi
+        self.require_word_a = require_word_a
         self.on_burst = on_burst
         self.mesh = mesh
         self.max_bursts = max_bursts
@@ -107,6 +109,10 @@ class ShardedReceiver:
                     # extent (device-side, correlator.burst_rssi)
                     rssi = float(rssi_pb[r, c, k])
                     if rssi < self.min_rssi:
+                        continue
+                    # invalid Word A: nothing dispatchable
+                    # (lib/recc_decode_impl.cc:107-110)
+                    if self.require_word_a and not ok[r, c, k, 0]:
                         continue
                     abs_sample = base + int(starts[r, c, k])
                     if abs(abs_sample - self._last_seen[c]) < \

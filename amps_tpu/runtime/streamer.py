@@ -230,6 +230,7 @@ class MultichannelReceiver:
                  tap_demod_path: Optional[str] = None,
                  pipeline_depth: int = 1,
                  min_rssi: float = 0.0,
+                 require_word_a: bool = True,
                  supervision_slots: tuple = (),
                  on_supervision: Optional[Callable] = None):
         """``tap_demod_path``: append raw per-channel FM-demod float32
@@ -263,7 +264,13 @@ class MultichannelReceiver:
         decode cleanly at high correlation quality — but at 20+ dB
         lower band power than any real transmission; this is the
         knob that rejects those ghosts (BurstReport.rssi carries the
-        measured value either way)."""
+        measured value either way).
+
+        ``require_word_a``: drop reports whose Word A failed BCH decode
+        — the reference's early return on an invalid Word A
+        (lib/recc_decode_impl.cc:107-110); no dispatch path can use a
+        burst without it.  Adjacent-channel FM splatter that trips the
+        trigger but carries no decodable payload is filtered here."""
         self.spec = spec
         M, T = spec.num_channels, spec.taps_per_phase
         self.M, self.T = M, T
@@ -273,6 +280,7 @@ class MultichannelReceiver:
                        else spec.transform_split)
         self.threshold = threshold
         self.min_rssi = min_rssi
+        self.require_word_a = require_word_a
         self.policy = policy
         self.on_burst = on_burst
         # overlap: a burst (trigger + capture) must fit in carry so one
@@ -406,6 +414,10 @@ class MultichannelReceiver:
                 # neighbor burst's block power
                 rssi = float(rssi_pb[c, k])
                 if rssi < self.min_rssi:
+                    continue
+                # invalid Word A: nothing dispatchable in this burst
+                # (lib/recc_decode_impl.cc:107-110 returns here)
+                if self.require_word_a and not ok[c, k, 0]:
                     continue
                 abs_sample = e["abs_base"] + int(starts[c, k])
                 # dedup: same burst found again in the overlap region
