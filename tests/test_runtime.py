@@ -341,3 +341,39 @@ def test_closed_loop_stream_runs_and_streams_state():
     assert np.isfinite(q)
     assert v == 0, (v, q)
     assert q < 0.55
+
+
+def test_word_a_report_gate_drops_undecodable_splatter():
+    """A candidate with a clean trigger but noise payload (adjacent-
+    channel FM splatter: the trigger slices coherently, no word
+    decodes) is dropped at report assembly — the reference's early
+    return on an invalid Word A (lib/recc_decode_impl.cc:107-110).
+    require_word_a=False restores delivery for observability."""
+    words = recc_ms.page_response_words("5551234567")
+    rng = np.random.default_rng(11)
+    base = recc_ms.burst_symbols(words, dcc=0, sps=SPS)
+    noise = np.repeat(rng.choice(np.array([-1, 1], np.int8), 3500), SPS)
+    fake = np.concatenate([base[:82 * SPS], noise]).astype(np.int8)
+
+    sens = 2 * np.pi * PipelineConfig().deviation_hz / PipelineConfig().chan_rate
+    total_hops = 40000
+    Y = np.zeros((total_hops, SPEC.num_channels, 2), np.float32)
+    for k, syms in ((3, recc_ms.burst_symbols(words, dcc=0, sps=SPS)),
+                    (5, fake)):
+        bb = np.asarray(fm_modulate_symbols(syms, sens)[0])
+        Y[2000:2000 + len(bb), k] = bb
+    x, _ = chz.synthesize(Y, SPEC.chz_spec, chz.synthesizer_init(SPEC.chz_spec))
+    x = np.asarray(x)
+
+    gated = MultichannelReceiver(SPEC, threshold=0.5, min_rssi=0.05)
+    reports = gated.push(x) + gated.flush(pad_tail=True)
+    assert [r.channel for r in reports] == [3]
+    assert reports[0].word_ok[0]
+
+    raw = MultichannelReceiver(SPEC, threshold=0.5, min_rssi=0.05,
+                               require_word_a=False)
+    reports_raw = raw.push(x) + raw.flush(pad_tail=True)
+    chans = sorted(r.channel for r in reports_raw)
+    assert chans == [3, 5], chans
+    splat = [r for r in reports_raw if r.channel == 5][0]
+    assert not splat.word_ok[0]       # honest: nothing decodable
