@@ -185,7 +185,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
             [jnp.zeros((M * T - P, 2), jnp.float32),
              jnp.asarray(x, jnp.float32)], axis=0)
         demod, chan_power = analyze_demod_pallas(x_ext, M, T, tile_h=128)
-        pw_series = None                      # fused kernel: mean only
+        pw_blk = None                         # fused kernel: mean only
         if not spec.io_bf16:
             demod = demod.astype(jnp.float32)
     else:
@@ -206,7 +206,12 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         # 20+ dB lower power; see runtime/streamer.BurstReport.rssi
         demod, _, pw_series = quadrature_demod_planar(
             yr, yi, return_power="series")               # (C, Nh) each
-        chan_power = jnp.sqrt(jnp.mean(pw_series, axis=-1))
+        # blocked in place: the series never hits HBM (the blocked sum
+        # fuses into the demod producer; materializing + re-reading it
+        # cost ~12% of the whole RX block, tools/bench_r3a.out)
+        pw_blk = correlator.window_power_blocks([pw_series])
+        chan_power = jnp.sqrt(jnp.sum(pw_blk, axis=-1)
+                              * correlator.RSSI_BLOCK / pw_series.shape[-1])
         if spec.io_bf16:
             demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
@@ -223,8 +228,8 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
     dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # batched (C, K, ...)
-    rssi = (correlator.burst_rssi(pw_series, starts, sps)
-            if pw_series is not None
+    rssi = (correlator.burst_rssi_blocks(pw_blk, starts, sps)
+            if pw_blk is not None
             else jnp.broadcast_to(chan_power[..., None], starts.shape))
     return {
         "starts": starts, "valid": valid, "quality": quality,
@@ -267,7 +272,9 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
         ypl = ypl.astype(jnp.bfloat16)
     demod, _, pw_series = quadrature_demod_planar(
         ypl[:, 0], ypl[:, 1], return_power="series")     # (G, M, Nh)
-    chan_power = jnp.sqrt(jnp.mean(pw_series, axis=-1))
+    pw_blk = correlator.window_power_blocks([pw_series])
+    chan_power = jnp.sqrt(jnp.sum(pw_blk, axis=-1)
+                          * correlator.RSSI_BLOCK / pw_series.shape[-1])
     if spec.io_bf16:
         demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
@@ -280,7 +287,7 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
     dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # (G, C, K, ...)
-    rssi = correlator.burst_rssi(pw_series, starts, sps)
+    rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
     return {
         "starts": starts, "valid": valid, "quality": quality,
         "words": dec.words, "word_ok": dec.word_ok,
@@ -414,7 +421,8 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         demod, _, pw = quadrature_demod_planar(yext[0], yext[1],
                                                return_power="series")
         demod = demod[:, 1:]                             # drop seed sample
-        pw = pw[:, 1:].astype(jnp.float32)               # aligned with demod
+        # blocked in place, aligned with demod (series never hits HBM)
+        pw_blk = correlator.window_power_blocks([pw[:, 1:]])
         # fresh-only band power, the same discriminator conjugate
         # product the single-device streamer reports as rssi
         fr, fi = ymine[0], ymine[1]
@@ -436,7 +444,7 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         # per-burst band power over each candidate's own capture extent
         # (the block mean cannot separate an FM-capture ghost from a
         # real burst sharing the block — correlator.burst_rssi)
-        rssi = correlator.burst_rssi(pw, starts, sps)
+        rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
         hard, _ = correlator.extract_from_phases(
             phases, starts, sps,
             hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)

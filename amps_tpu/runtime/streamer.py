@@ -82,7 +82,10 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq, pw_carry,
     chan_power = jnp.sqrt(jnp.mean(pw_new, axis=-1))
     last = jnp.stack([lr, li], axis=-1)
     demod = jnp.concatenate([demod_carry, demod_new], axis=-1)
-    pw = jnp.concatenate([pw_carry, pw_new], axis=-1)      # demod-aligned
+    # demod-aligned per-block power means, computed PIECEWISE so the
+    # (M, Nh) power series stays a fusion intermediate (never
+    # concatenated/materialized — tools/profile_cl1.out find marginal)
+    pw_blk = correlator.window_power_blocks([pw_carry, pw_new])
     # one integrate-and-dump pass shared by symbol-domain detection and
     # capture (see correlator.find_bursts_phases); no zero pad — the
     # extractor zero-fills past the stream tail, and the completeness
@@ -103,13 +106,18 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq, pw_carry,
     # per-burst band power over each candidate's own capture extent —
     # the block mean cannot separate an FM-capture ghost from a real
     # burst sharing the block (correlator.burst_rssi)
-    rssi = correlator.burst_rssi(pw, starts, sps)
+    rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
     hard, _ = correlator.extract_from_phases(
         phases, starts, sps,
         hard_dtype=jnp.bfloat16 if io_bf16 else jnp.uint8)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
-    new_pw_carry = pw[:, -ovr:] if ovr > 0 else pw[:, :0]
+    if ovr == 0:
+        new_pw_carry = pw_new[:, :0]
+    elif Nh >= ovr:
+        new_pw_carry = pw_new[:, -ovr:]
+    else:
+        new_pw_carry = jnp.concatenate([pw_carry[:, Nh:], pw_new], axis=-1)
     new_hist = x_ext[-(M * T - M // 2):]
     new_parity = (hop_parity + Nh) % 2
     return (starts, valid, quality, hard, new_hist, new_parity,
@@ -148,6 +156,12 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
     ovr = (_corr.TRIGGER_SYMBOLS + _corr.CAPTURE_SYMBOLS) * sps
     n_hops = frames * 463 * 2 * sps
     block_samples = n_hops * P
+    # blocks are whole frames (463 bits * 2 Manchester * sps hops), so
+    # the per-block hop count is even and hop parity is structurally 0
+    # at every block start — a CONSTANT parity constant-folds the
+    # (Nh, M) (-1)^{kn} sign plane into the transform (4x the whole TX
+    # scan on CPU; tools/profile_cl2.out variants F/G on chip)
+    assert n_hops % 2 == 0
 
     @jax.jit
     def run(word_pairs):
@@ -162,16 +176,15 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
             "hist": jnp.zeros((L - P, 2), jnp.float32),
             "carry": jnp.zeros((M, min(ovr, n_hops)), jnp.float32),
             "prev": jnp.zeros((M, 2), jnp.float32),
-            "parity": jnp.zeros((), jnp.int32),
         }
 
         def body(st, _):
             x, syn_tail = chz._synthesize_block(
-                Y, h, M, T, st["parity"], st["syn_carry"],
+                Y, h, M, T, 0, st["syn_carry"],
                 spec.transform_bf16, split)
             x_ext = jnp.concatenate([st["hist"], x], axis=0)
             ypl = chz._analyze_block_chmajor(
-                x_ext, h, M, T, st["parity"], spec.transform_bf16,
+                x_ext, h, M, T, 0, spec.transform_bf16,
                 split, spec.fold, planar=True)             # (2, M, Nh)
             demod_new, (lr, li) = quadrature_demod_planar(
                 ypl[0], ypl[1], 1.0, (st["prev"][:, 0], st["prev"][:, 1]))
@@ -195,13 +208,15 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
                 "hist": x_ext[-(L - P):],
                 "carry": demod[:, -nc:] if nc else demod[:, :0],
                 "prev": jnp.stack([lr, li], axis=-1),
-                "parity": (st["parity"] + demod_new.shape[-1]) % 2,
             }
             out = (jnp.sum(valid), jnp.max(quality.astype(jnp.float32)),
                    jnp.sum(dec.word_ok))
             return st2, out
 
-        _, (v, q, wok) = lax.scan(body, state0, None, length=nblocks)
+        # unroll=2: per-iteration scan overhead measured +7% on chip
+        # (tools/profile_cl2.out D vs C)
+        _, (v, q, wok) = lax.scan(body, state0, None, length=nblocks,
+                                  unroll=2)
         return jnp.sum(v), jnp.max(q), jnp.sum(wok)
 
     return run, block_samples

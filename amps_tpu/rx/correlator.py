@@ -389,9 +389,45 @@ def apply_trigger_gate(valid, phases, starts, sps: int, max_err: int):
 RSSI_BLOCK = 384   # power-series samples per rssi block (128 sym @ sps 3)
 
 
+def window_power_blocks(parts, B: int = RSSI_BLOCK):
+    """Per-block means over a VIRTUAL concatenation of per-sample power
+    parts (last axis), zero-padded to whole blocks — numerically the
+    reduction ``burst_rssi`` used to run on the concatenated series,
+    WITHOUT materializing that concatenation.
+
+    Why: the power series is an intermediate of the demod fusion
+    ((M, Nh) f32 — ~100 MB/block at the bench config); concatenating it
+    with the carried overlap and re-reading it inside burst_rssi cost
+    ~0.25 ms/block of pure HBM traffic (tools/profile_cl1.out find-stage
+    marginal; the r3 bench regression 2208 -> 1932 Msps).  Reducing each
+    part in place lets XLA fuse the blocked sum into the producer, so
+    only the (..., nb) block means and the (..., OVR) carry tail ever
+    touch HBM.
+    """
+    total = sum(int(p.shape[-1]) for p in parts)
+    nb = -(-total // B)
+    batch = parts[0].shape[:-1]
+    out = jnp.zeros(batch + (nb,), jnp.float32)
+    off = 0
+    for p in parts:
+        n = int(p.shape[-1])
+        if n == 0:
+            continue
+        p = jnp.asarray(p, jnp.float32)
+        o = off % B
+        b0 = off // B
+        nbp = -(-(o + n) // B)
+        pad = [(0, 0)] * (p.ndim - 1) + [(o, nbp * B - o - n)]
+        sums = jnp.sum(jnp.pad(p, pad).reshape(batch + (nbp, B)), axis=-1)
+        out = out.at[..., b0: b0 + nbp].add(sums)  # static offsets
+        off += n
+    return out / jnp.float32(B)
+
+
 @functools.partial(jax.jit, static_argnames=("sps",))
-def burst_rssi(pw_series, starts, sps: int):
-    """Per-candidate band power over the candidate's OWN capture extent.
+def burst_rssi_blocks(blk, starts, sps: int):
+    """Per-candidate band power over the candidate's OWN capture extent,
+    from precomputed per-block power means (window_power_blocks).
 
     A per-block per-channel mean rssi cannot separate an adjacent-
     channel FM-capture ghost from a real burst sharing the block with
@@ -400,22 +436,12 @@ def burst_rssi(pw_series, starts, sps: int):
     restores the 20+ dB ghost/real separation regardless of what else
     the channel carried that block.
 
-    pw_series: (..., n) per-sample squared-envelope-product series
-    (quadrature_demod_planar(..., return_power="series")), aligned with
-    the demod window the starts index into; starts: (..., K) sample
-    units.  Returns sqrt(mean) over the capture extent, (..., K) f32 —
-    the same units as the old block-mean rssi.
+    blk: (..., nb) block means aligned with the demod window the starts
+    index into; starts: (..., K) sample units.  Returns sqrt(mean) over
+    the capture extent, (..., K) f32.
     """
     B = RSSI_BLOCK
-    n = pw_series.shape[-1]
-    nb = -(-n // B)
-    batch = pw_series.shape[:-1]
-    pw = jnp.asarray(pw_series, jnp.float32)
-    pad = nb * B - n
-    if pad:
-        pw = jnp.concatenate(
-            [pw, jnp.zeros(batch + (pad,), jnp.float32)], axis=-1)
-    blk = jnp.mean(pw.reshape(batch + (nb, B)), axis=-1)   # (..., nb)
+    nb = blk.shape[-1]
     st = jnp.asarray(starts, jnp.int32)
     b0 = st // B
     nsel = CAPTURE_SYMBOLS * sps // B + 1                  # 27 blocks
@@ -425,6 +451,14 @@ def burst_rssi(pw_series, starts, sps: int):
     picked = jnp.einsum("...kjb,...b->...kj", sel, blk,
                         preferred_element_type=jnp.float32)
     return jnp.sqrt(jnp.mean(picked, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
+def burst_rssi(pw_series, starts, sps: int):
+    """Per-candidate capture-extent band power from a materialized
+    per-sample power series (see burst_rssi_blocks; hot paths pass
+    window_power_blocks output instead so the series never hits HBM)."""
+    return burst_rssi_blocks(window_power_blocks([pw_series]), starts, sps)
 
 
 SYM_BLOCK = 128    # symbols per integrate-and-dump matmul block

@@ -436,3 +436,18 @@ def test_repeat_gate_kills_bch_aliased_noise_repeats():
             assert not np.asarray(d2.word_ok)[W], (seed, policy)
     # the hazard is real: ungated decodes deliver aliased words
     assert aliased >= 6, aliased
+
+
+def test_window_power_blocks_matches_contiguous_series(rng):
+    """Piecewise blocked power (carry | new parts) equals the
+    contiguous-series reduction burst_rssi runs internally."""
+    import jax.numpy as jnp
+    pw = rng.uniform(0.0, 2.0, (5, 9000)).astype(np.float32)
+    starts = np.array([[0, 1200], [384, 383], [7000, 8999],
+                       [10, 4000], [8999, 0]], np.int32)
+    want = np.asarray(correlator.burst_rssi(jnp.asarray(pw), starts, 1))
+    for cut in (0, 1, 344, 384, 4000, 9000):
+        blk = correlator.window_power_blocks(
+            [jnp.asarray(pw[:, :cut]), jnp.asarray(pw[:, cut:])])
+        got = np.asarray(correlator.burst_rssi_blocks(blk, starts, 1))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
