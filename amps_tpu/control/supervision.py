@@ -44,7 +44,15 @@ class SupervisionConfig:
     st_flash_min_s: float = 0.25   # 400 ms flash window (553 §2.7.2)
     st_flash_max_s: float = 0.8
     alert_timeout_s: float = 65.0  # unanswered alert -> release
-    min_power: float = 1e-6        # RVC carrier-present gate
+    min_power: float = 1e-6        # RVC carrier-present gate (lower)
+    # Discriminator-noise squelch (upper bound): a DEAD carrier
+    # demodulates to full-scale white phase noise — deviation-normalized
+    # discriminator power ~pi^2/3/sens^2 ~ 4.7 — while a live FM
+    # carrier's demod power is bounded by its modulation (voice+tones
+    # <~0.5).  Without this, random ST-bin hits on a dead carrier fire
+    # spurious flash events (observed on chip, tools/soak_voice_tpu.out
+    # run 1: 'flash' on slot B during the post-fade dead carrier).
+    max_power: float = 1.0
 
 
 # call states
@@ -126,7 +134,7 @@ class ChannelSupervisor:
             st = levels[f, 3]
             mine = sat[self.scc]
             others = max(sat[i] for i in range(3) if i != self.scc)
-            carrier = power[f] > cfg.min_power
+            carrier = cfg.min_power < power[f] < cfg.max_power
             sat_ok = (carrier
                       and mine > cfg.sat_on_ratio * cfg.sat_nominal
                       and mine > others * margin)

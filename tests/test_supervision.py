@@ -147,3 +147,25 @@ def test_station_supervises_paged_call():
     assert fvc, "no FVC words emitted"
     rel_word, timer = fvc[-1].payload
     assert timer > 0
+
+
+def test_dead_carrier_noise_is_squelched():
+    """A dead carrier demodulates to full-scale discriminator noise
+    (power >> any live modulation); the max_power squelch must treat it
+    as carrier loss — fade release fires, and the random ST-bin hits
+    never surface as flash/answer/release(ST) events (chip-observed
+    spurious 'flash', tools/soak_voice_tpu.out run 1)."""
+    cfg = SupervisionConfig(fade_timeout_s=0.5)
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    # full-scale white discriminator noise, deviation-normalized:
+    # uniform(-pi, pi) / sens
+    rng = np.random.default_rng(3)
+    sens = 2 * np.pi * 8000.0 / FS
+    x = rng.uniform(-np.pi, np.pi, int(1.0 * FS)).astype(np.float32) / sens
+    lv, pw = _frames(x)
+    assert pw.min() > cfg.max_power     # the regime the squelch targets
+    sup.push_frames(lv, pw)
+    kinds = [e.kind for e in sup.events]
+    assert "release" in kinds
+    assert sup.events[-1].reason == "SAT fade timeout"
+    assert "flash" not in kinds and "answer" not in kinds
