@@ -139,10 +139,10 @@ class ChannelSupervisor:
                       and mine > cfg.sat_on_ratio * cfg.sat_nominal
                       and mine > others * margin)
             st_on = carrier and st > cfg.st_on_ratio * cfg.st_nominal
-            self._step(sat_ok, st_on)
+            self._step(sat_ok, st_on, carrier)
             self.t += cfg.frame_s
 
-    def _step(self, sat_ok: bool, st_on: bool) -> None:
+    def _step(self, sat_ok: bool, st_on: bool, carrier: bool = True) -> None:
         cfg = self.cfg
         # SAT / carrier fade timing (553 §2.4.2)
         was_lost = self._sat_loss_t > 0.0
@@ -164,15 +164,21 @@ class ChannelSupervisor:
             self._alert_t += cfg.frame_s
             if st_on:
                 self._st_seen_in_alert = True
-            elif self._st_seen_in_alert:
-                # ST drop after ringing = answer (553 §2.7.2)
+            elif self._st_seen_in_alert and carrier:
+                # ST drop after ringing = answer (553 §2.7.2).  Gated on
+                # carrier: a fade frame carries NO tone information
+                # (the discriminator outputs full-scale noise), so it
+                # must not register as an ST drop — one deep-fade frame
+                # while ringing would otherwise fire a false answer.
                 self.begin_conversation()
                 self._emit("answer")
                 return
             if self._alert_t >= cfg.alert_timeout_s:
                 self._release("alert timeout (no answer)")
         elif self.state == CONVERSATION:
-            if st_on:
+            if not carrier:
+                pass        # no tone information: freeze ST run timing
+            elif st_on:
                 self._st_run_t += cfg.frame_s
                 if self._st_run_t >= cfg.st_release_s:
                     self._release("mobile release (ST)")

@@ -23,7 +23,8 @@ from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx import recc_ms
 
 
-def _rx_trials(iq, words_true, sps: int, policy: str):
+def _rx_trials(iq, words_true, sps: int, policy: str,
+               repeat_gate):
     """Shared RX tail: (trials, n, 2) impaired IQ -> (detected, word_good)."""
     trials, n = iq.shape[0], iq.shape[1]
     demod, _ = quadrature_demod(iq)              # (trials, n)
@@ -34,7 +35,7 @@ def _rx_trials(iq, words_true, sps: int, policy: str):
     hard, _ = jax.vmap(
         lambda d, s: correlator.extract_burst_symbols(d, s, sps)
     )(demod_p, starts)
-    dec = decoder.decode_bursts(hard[:, 0], policy)  # (trials, 7, ...)
+    dec = decoder.decode_bursts(hard[:, 0], policy, repeat_gate)
     nw = words_true.shape[0]
     ok = dec.word_ok[:, :nw]
     match = jnp.all(dec.words[:, :nw] == words_true[None], axis=-1)
@@ -43,9 +44,10 @@ def _rx_trials(iq, words_true, sps: int, policy: str):
     return detected, word_good
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "n", "policy"))
+@functools.partial(jax.jit, static_argnames=("sps", "n", "policy",
+                                             "repeat_gate"))
 def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
-                 policy: str = "first_ok"):
+                 policy: str = "first_ok", repeat_gate=6):
     """iq_clean (n, 2); keys (trials, 2) PRNG keys; returns per-trial
     (detected, word_good)."""
 
@@ -54,16 +56,17 @@ def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
         return iq_clean + noise
 
     iq = jax.vmap(one)(keys)                     # (trials, n, 2)
-    return _rx_trials(iq, words_true, sps, policy)
+    return _rx_trials(iq, words_true, sps, policy, repeat_gate)
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "n", "policy"))
+@functools.partial(jax.jit, static_argnames=("sps", "n", "policy",
+                                             "repeat_gate"))
 def _trial_batch_iq(iq, noise_sigma, key, words_true, sps: int, n: int,
-                    policy: str = "first_ok"):
+                    policy: str = "first_ok", repeat_gate=6):
     """Per-trial pre-impaired IQ (trials, n, 2) (e.g. faded) + AWGN."""
     trials = iq.shape[0]
     iq = iq + noise_sigma * jax.random.normal(key, (trials, n, 2))
-    return _rx_trials(iq, words_true, sps, policy)
+    return _rx_trials(iq, words_true, sps, policy, repeat_gate)
 
 
 def _test_burst_iq(sps: int):
@@ -82,11 +85,15 @@ def _test_burst_iq(sps: int):
 
 def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
                     seed: int = 0, sps: int = 3,
-                    policy: str = "first_ok") -> Dict[float, dict]:
+                    policy: str = "first_ok",
+                    repeat_gate=6) -> Dict[float, dict]:
     """Detection rate and word-error rate vs per-sample complex SNR.
 
     Signal is a unit-modulus FSK burst; SNR(dB) = -10 log10(sigma_c^2)
-    with sigma_c^2 the complex noise variance.
+    with sigma_c^2 the complex noise variance.  ``repeat_gate``
+    defaults to the production erasure gate (MultichannelSpec) so
+    the pinned curves describe the SHIPPING decode path; None
+    measures the ungated legacy decode.
     """
     iq, words_true = _test_burst_iq(sps)
     n = iq.shape[0]
@@ -99,7 +106,8 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, trials)
         detected, word_good = _trial_batch(
-            iq, jnp.float32(sigma), keys, words_true, sps, n, policy)
+            iq, jnp.float32(sigma), keys, words_true, sps, n, policy,
+            repeat_gate)
         detected = np.asarray(detected)
         word_good = np.asarray(word_good)
         nw = word_good.shape[1]
@@ -114,7 +122,8 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
 
 def recc_fading_curve(snr_dbs: Sequence[float], doppler_hz: float = 77.0,
                       trials: int = 64, seed: int = 0, sps: int = 3,
-                      policy: str = "majority") -> Dict[float, dict]:
+                      policy: str = "majority",
+                      repeat_gate=6) -> Dict[float, dict]:
     """Detection / word-success vs average SNR under Rayleigh flat
     fading (eval/channel.py, unit mean power) at the given Doppler.
 
@@ -141,7 +150,8 @@ def recc_fading_curve(snr_dbs: Sequence[float], doppler_hz: float = 77.0,
         sigma = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)
         key, sub = jax.random.split(key)
         detected, word_good = _trial_batch_iq(
-            faded, jnp.float32(sigma), sub, words_true, sps, n, policy)
+            faded, jnp.float32(sigma), sub, words_true, sps, n, policy,
+            repeat_gate)
         detected = np.asarray(detected)
         word_good = np.asarray(word_good)
         out[float(snr)] = {

@@ -210,8 +210,8 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         # fuses into the demod producer; materializing + re-reading it
         # cost ~12% of the whole RX block, tools/bench_r3a.out)
         pw_blk = correlator.window_power_blocks([pw_series])
-        chan_power = jnp.sqrt(jnp.sum(pw_blk, axis=-1)
-                              * correlator.RSSI_BLOCK / pw_series.shape[-1])
+        chan_power = correlator.power_from_blocks(pw_blk,
+                                                  pw_series.shape[-1])
         if spec.io_bf16:
             demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps
@@ -273,8 +273,7 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
     demod, _, pw_series = quadrature_demod_planar(
         ypl[:, 0], ypl[:, 1], return_power="series")     # (G, M, Nh)
     pw_blk = correlator.window_power_blocks([pw_series])
-    chan_power = jnp.sqrt(jnp.sum(pw_blk, axis=-1)
-                          * correlator.RSSI_BLOCK / pw_series.shape[-1])
+    chan_power = correlator.power_from_blocks(pw_blk, pw_series.shape[-1])
     if spec.io_bf16:
         demod = demod.astype(jnp.bfloat16)
     sps = spec.chan_sps

@@ -37,7 +37,7 @@ def snapshot_receiver(rx) -> Dict[str, np.ndarray]:
 def restore_receiver(snap, rx) -> None:
     assert str(snap["kind"]) == "receiver"
     rx._hist = jnp.asarray(snap["hist"])
-    rx._parity = jnp.asarray(snap["parity"])
+    rx._parity = int(snap["parity"])   # host int: static jit arg
     rx._carry = jnp.asarray(snap["carry"])
     rx._prev = jnp.asarray(snap["prev"])
     rx._abs_base = int(snap["abs_base"])

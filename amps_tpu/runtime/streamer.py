@@ -43,17 +43,23 @@ def decode_dcc(bits7) -> int:
     return int(np.argmin(np.abs(_DCC_CODES - b).sum(axis=1)))
 
 
+# hop_parity is STATIC: production blocks are whole-hop and even-hop
+# (the CLAUDE.md block-length invariant), so parity is 0 forever and a
+# constant parity constant-folds the (Nh, M) (-1)^{kn} sign plane into
+# the analysis transform (tools/profile_cl2.out F/G); an odd-hop block
+# would merely compile the parity-1 variant once.
 @functools.partial(jax.jit, static_argnames=("M", "T", "sps", "max_bursts",
                                              "want_demod", "bf16", "split",
                                              "fold", "io_bf16", "corr_bf16",
-                                             "trig_gate"))
-def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq, pw_carry,
+                                             "trig_gate", "hop_parity"))
+def _rx_stream_block(x, hist, demod_carry, prev_iq, pw_carry,
                      M: int, T: int, sps: int, max_bursts: int,
                      threshold: float, want_demod: bool = False,
                      bf16: bool = False, split: int = 0,
                      fold: str = "conv", io_bf16: bool = False,
                      corr_bf16: bool = False,
-                     trig_gate: int = correlator.MAX_TRIGGER_ERRORS):
+                     trig_gate: int = correlator.MAX_TRIGGER_ERRORS,
+                     hop_parity: int = 0):
     """One streaming RX step with carried state.
 
     x: (N, 2) wideband block.  hist: (L-P, 2) analyzer history.
@@ -119,8 +125,7 @@ def _rx_stream_block(x, hist, hop_parity, demod_carry, prev_iq, pw_carry,
     else:
         new_pw_carry = jnp.concatenate([pw_carry[:, Nh:], pw_new], axis=-1)
     new_hist = x_ext[-(M * T - M // 2):]
-    new_parity = (hop_parity + Nh) % 2
-    return (starts, valid, quality, hard, new_hist, new_parity,
+    return (starts, valid, quality, hard, new_hist,
             new_carry, last, Nh, chan_power, rssi, new_pw_carry,
             demod_new if want_demod else None)
 
@@ -303,7 +308,7 @@ class MultichannelReceiver:
         self.ovr = (correlator.TRIGGER_SYMBOLS
                     + correlator.CAPTURE_SYMBOLS) * self.sps
         self._hist = jnp.zeros((M * T - M // 2, 2), jnp.float32)
-        self._parity = jnp.int32(0)
+        self._parity = 0          # host int: static arg (see _rx_stream_block)
         self._carry = jnp.zeros((M, self.ovr), jnp.float32)
         self._pw_carry = jnp.zeros((M, self.ovr), jnp.float32)
         self._prev = jnp.zeros((M, 2), jnp.float32)
@@ -338,10 +343,10 @@ class MultichannelReceiver:
         blocks up to ``pipeline_depth``-1 behind otherwise."""
         x = jnp.asarray(x_block, jnp.float32)
         self._last_block_len = int(x.shape[0])
-        (starts, valid, quality, hard, self._hist, self._parity,
+        (starts, valid, quality, hard, self._hist,
          self._carry, self._prev, _, chan_power, rssi, self._pw_carry,
          demod) = _rx_stream_block(
-            x, self._hist, self._parity, self._carry, self._prev,
+            x, self._hist, self._carry, self._prev,
             self._pw_carry,
             self.M, self.T, self.sps, self.max_bursts, self.threshold,
             want_demod=(self._tap is not None
@@ -349,7 +354,8 @@ class MultichannelReceiver:
             bf16=self.spec.transform_bf16, split=self._split,
             fold=self.spec.fold, io_bf16=self.spec.io_bf16,
             corr_bf16=self.spec.corr_bf16,
-            trig_gate=self.spec.max_trigger_errors)
+            trig_gate=self.spec.max_trigger_errors,
+            hop_parity=self._parity)
         dec = decoder.decode_bursts(hard, policy=self.policy, repeat_gate=self.spec.decode_repeat_gate)
         # enqueue DEVICE arrays only — no host sync here; the sync
         # happens when the entry is drained, depth-1 blocks later
@@ -357,6 +363,7 @@ class MultichannelReceiver:
             starts=starts, valid=valid, quality=quality, dec=dec,
             power=chan_power, rssi=rssi, demod=demod,
             abs_base=self._abs_base))
+        self._parity = (self._parity + int(x.shape[0]) // (self.M // 2)) % 2
         self._abs_base += x.shape[0] // (self.M // 2)
         out: List[BurstReport] = []
         while len(self._inflight) >= self.depth:

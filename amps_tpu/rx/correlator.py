@@ -424,6 +424,13 @@ def window_power_blocks(parts, B: int = RSSI_BLOCK):
     return out / jnp.float32(B)
 
 
+def power_from_blocks(blk, n: int):
+    """Per-stream sqrt(mean power) reconstructed from
+    window_power_blocks output over an n-sample window (the zero-pad
+    dilution is undone by scaling with the true sample count)."""
+    return jnp.sqrt(jnp.sum(blk, axis=-1) * jnp.float32(RSSI_BLOCK / n))
+
+
 @functools.partial(jax.jit, static_argnames=("sps",))
 def burst_rssi_blocks(blk, starts, sps: int):
     """Per-candidate band power over the candidate's OWN capture extent,

@@ -182,13 +182,23 @@ def decode_bursts(symbols, policy: str = "first_ok",
             votes = NUM_REPEATS - ssum[..., 0::2]
             nvote = jnp.float32(NUM_REPEATS)
         else:
-            w_el = elig.astype(jnp.float32)                   # (..., 7, 5)
+            # an even eligible count can TIE a bit vote; a tie that
+            # resolved to a fixed value would hand BCH a systematic
+            # vector that can alias (the legacy 5-repeat vote was
+            # tie-free).  Per-repeat weights 1 + 2^-r/64 have unique
+            # subset sums (binary-exact in f32), so ties break
+            # deterministically toward earlier repeats — the
+            # reference's own repeat preference order.
+            tie = (1.0 / 64.0) / 2.0 ** np.arange(NUM_REPEATS,
+                                                  dtype=np.float32)
+            w_el = elig.astype(jnp.float32) * (1.0 + jnp.asarray(tie))
             ssum = jnp.einsum("...r,...rs->...s", w_el,
                               swr.astype(jnp.float32),
                               preferred_element_type=jnp.float32)
-            n_el = jnp.sum(w_el, axis=-1)                     # (..., 7)
-            votes = n_el[..., None] - ssum[..., 0::2]
-            nvote = n_el[..., None]
+            n_el = jnp.sum(elig, axis=-1)                     # (..., 7)
+            votes = jnp.sum(w_el, axis=-1)[..., None] - ssum
+            votes = votes[..., 0::2]
+            nvote = jnp.sum(w_el, axis=-1)[..., None]
         maj = (votes * 2 > nvote).astype(jnp.uint8)
         mdec, mok = recc_bch_decode(maj)
         if elig is not None:

@@ -169,3 +169,28 @@ def test_dead_carrier_noise_is_squelched():
     assert "release" in kinds
     assert sup.events[-1].reason == "SAT fade timeout"
     assert "flash" not in kinds and "answer" not in kinds
+
+
+def test_fade_frame_during_ringing_is_not_an_answer():
+    """A deep-fade frame while the mobile rings (carrier False -> no
+    tone information) must not register as ST drop / answer; the real
+    answer after the fade still lands."""
+    cfg = SupervisionConfig(fade_timeout_s=5.0)
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    sup.begin_alert()
+    ring, pw_ring = _frames(_tone_demod(0.2, st=True))
+    sup.push_frames(ring, pw_ring)
+    # 3 frames of full-scale discriminator noise (dead carrier)
+    rng = np.random.default_rng(7)
+    sens = 2 * np.pi * 8000.0 / FS
+    noise = rng.uniform(-np.pi, np.pi, 3 * FRAME).astype(np.float32) / sens
+    lvn, pwn = _frames(noise)
+    sup.push_frames(lvn, pwn)
+    assert not any(e.kind == "answer" for e in sup.events)
+    assert sup.state == ALERTING
+    # ringing resumes, then a REAL ST drop answers
+    sup.push_frames(ring, pw_ring)
+    talk, pw_talk = _frames(_tone_demod(0.2, st=False))
+    sup.push_frames(talk, pw_talk)
+    assert any(e.kind == "answer" for e in sup.events)
+    assert sup.state == CONVERSATION
