@@ -177,7 +177,12 @@ class ChannelSupervisor:
                 self._release("alert timeout (no answer)")
         elif self.state == CONVERSATION:
             if not carrier:
-                pass        # no tone information: freeze ST run timing
+                # carrier died mid-run: the tone's falling edge is
+                # unobservable, so the run cannot be verified as a
+                # deliberate flash — discard it silently (emitting at
+                # fade-start reads a fade as a flash; emitting at
+                # carrier-resume delivers a stale flash seconds late)
+                self._st_run_t = 0.0
             elif st_on:
                 self._st_run_t += cfg.frame_s
                 if self._st_run_t >= cfg.st_release_s:

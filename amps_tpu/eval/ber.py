@@ -19,8 +19,13 @@ import jax.numpy as jnp
 
 from amps_tpu.config import PipelineConfig
 from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+from amps_tpu.parallel.pipeline import MultichannelSpec
 from amps_tpu.rx import correlator, decoder
 from amps_tpu.tx import recc_ms
+
+# the production erasure gate — derived from the single source of truth
+# so retuning MultichannelSpec.repeat_gate retunes the pinned curves too
+PRODUCTION_REPEAT_GATE = MultichannelSpec().decode_repeat_gate
 
 
 def _rx_trials(iq, words_true, sps: int, policy: str,
@@ -47,7 +52,7 @@ def _rx_trials(iq, words_true, sps: int, policy: str,
 @functools.partial(jax.jit, static_argnames=("sps", "n", "policy",
                                              "repeat_gate"))
 def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
-                 policy: str = "first_ok", repeat_gate=6):
+                 policy: str = "first_ok", repeat_gate=PRODUCTION_REPEAT_GATE):
     """iq_clean (n, 2); keys (trials, 2) PRNG keys; returns per-trial
     (detected, word_good)."""
 
@@ -62,7 +67,7 @@ def _trial_batch(iq_clean, noise_sigma, keys, words_true, sps: int, n: int,
 @functools.partial(jax.jit, static_argnames=("sps", "n", "policy",
                                              "repeat_gate"))
 def _trial_batch_iq(iq, noise_sigma, key, words_true, sps: int, n: int,
-                    policy: str = "first_ok", repeat_gate=6):
+                    policy: str = "first_ok", repeat_gate=PRODUCTION_REPEAT_GATE):
     """Per-trial pre-impaired IQ (trials, n, 2) (e.g. faded) + AWGN."""
     trials = iq.shape[0]
     iq = iq + noise_sigma * jax.random.normal(key, (trials, n, 2))
@@ -86,7 +91,7 @@ def _test_burst_iq(sps: int):
 def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
                     seed: int = 0, sps: int = 3,
                     policy: str = "first_ok",
-                    repeat_gate=6) -> Dict[float, dict]:
+                    repeat_gate=PRODUCTION_REPEAT_GATE) -> Dict[float, dict]:
     """Detection rate and word-error rate vs per-sample complex SNR.
 
     Signal is a unit-modulus FSK burst; SNR(dB) = -10 log10(sigma_c^2)
@@ -123,7 +128,7 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
 def recc_fading_curve(snr_dbs: Sequence[float], doppler_hz: float = 77.0,
                       trials: int = 64, seed: int = 0, sps: int = 3,
                       policy: str = "majority",
-                      repeat_gate=6) -> Dict[float, dict]:
+                      repeat_gate=PRODUCTION_REPEAT_GATE) -> Dict[float, dict]:
     """Detection / word-success vs average SNR under Rayleigh flat
     fading (eval/channel.py, unit mean power) at the given Doppler.
 

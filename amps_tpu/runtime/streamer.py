@@ -67,9 +67,9 @@ def _rx_stream_block(x, hist, demod_carry, prev_iq, pw_carry,
     prev_iq: (M, 2) last channel sample for discriminator continuity.
     pw_carry: (M, OVR) envelope-power-series overlap (per-burst rssi
     over the same window coordinates as demod).
-    Returns (starts, valid, quality, hard, new_hist, new_parity,
+    Returns (starts, valid, quality, hard, new_hist,
     new_carry, new_prev, n_new_demod, chan_power, rssi, new_pw_carry,
-    demod?).
+    demod?); the caller advances hop parity host-side.
     """
     h = jnp.asarray(chz.prototype_taps(M, T))
     x_ext = jnp.concatenate([hist, x], axis=0)

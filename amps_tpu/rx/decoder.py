@@ -185,12 +185,19 @@ def decode_bursts(symbols, policy: str = "first_ok",
             # an even eligible count can TIE a bit vote; a tie that
             # resolved to a fixed value would hand BCH a systematic
             # vector that can alias (the legacy 5-repeat vote was
-            # tie-free).  Per-repeat weights 1 + 2^-r/64 have unique
-            # subset sums (binary-exact in f32), so ties break
-            # deterministically toward earlier repeats — the
-            # reference's own repeat preference order.
-            tie = (1.0 / 64.0) / 2.0 ** np.arange(NUM_REPEATS,
-                                                  dtype=np.float32)
+            # tie-free).  Per-repeat weights 1 + 2^-(r+3) have unique
+            # subset sums, so ties break deterministically toward
+            # earlier repeats — the reference's own preference order.
+            # The epsilons use <= 7 mantissa bits so the weights are
+            # EXACT IN BFLOAT16: TPU f32 einsums lower to bf16 MXU
+            # input passes at default precision (the packed-LUT
+            # incident, CLAUDE.md), which would silently round finer
+            # epsilons back to 1.0 and defeat the tie-break on chip.
+            # Max total perturbation 2*0.242 + 0.242 < 1 = the minimum
+            # non-tie margin, so true majorities can never flip
+            # (tests/test_rx.py::test_majority_tie_break_weights).
+            tie = (0.125 / 2.0 ** np.arange(NUM_REPEATS)
+                   ).astype(np.float32)
             w_el = elig.astype(jnp.float32) * (1.0 + jnp.asarray(tie))
             ssum = jnp.einsum("...r,...rs->...s", w_el,
                               swr.astype(jnp.float32),

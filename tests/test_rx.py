@@ -451,3 +451,24 @@ def test_window_power_blocks_matches_contiguous_series(rng):
             [jnp.asarray(pw[:, :cut]), jnp.asarray(pw[:, cut:])])
         got = np.asarray(correlator.burst_rssi_blocks(blk, starts, 1))
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
+def test_majority_tie_break_weights_are_bf16_exact():
+    """The gated-majority tie-break epsilons must survive the TPU's
+    bf16 MXU input rounding (f32 einsums lower to bf16 input passes at
+    default precision — the packed-LUT incident class): every weight
+    1 + 2^-(r+3) must be exactly representable in bfloat16, and the
+    total perturbation must stay below the minimum non-tie margin."""
+    import jax.numpy as jnp
+    eps = 0.125 / 2.0 ** np.arange(5)
+    w = (1.0 + eps).astype(np.float32)
+    roundtrip = np.asarray(jnp.asarray(w, jnp.bfloat16).astype(jnp.float32))
+    assert np.array_equal(roundtrip, w), (roundtrip, w)
+    # subset sums of the epsilons are unique (distinct powers of two)
+    sums = set()
+    for m in range(32):
+        t = sum(e for i, e in enumerate(eps) if m >> i & 1)
+        assert t not in sums
+        sums.add(t)
+    # 2*sum(eps_votes) + sum(eps_nvote) < 1, the minimum non-tie margin
+    assert 3 * eps.sum() < 1.0
