@@ -29,6 +29,8 @@ base = dict(num_channels=1024, taps_per_phase=8, fold="bank",
             io_bf16=True, corr_bf16=True, transform_bf16=True)
 spec_on = MultichannelSpec(**base)
 spec_off = MultichannelSpec(**base, max_trigger_errors=-1, repeat_gate=-1)
+spec_trig = MultichannelSpec(**base, repeat_gate=-1)
+spec_rep = MultichannelSpec(**base, max_trigger_errors=-1)
 
 wp = jnp.asarray(rng.integers(0, 2, (1024, 3, 2, 28)).astype(np.uint8))
 ntx = 3 * 463 * 2 * 3 * 512
@@ -43,6 +45,8 @@ def rx_runner(spec):
 
 
 variants = [("rx_gates_on", rx_runner(spec_on), n),
+            ("rx_trig_only", rx_runner(spec_trig), n),
+            ("rx_repeat_only", rx_runner(spec_rep), n),
             ("rx_gates_off", rx_runner(spec_off), n),
             ("tx_ref", lambda: run_tx(wp), ntx)]
 
