@@ -164,11 +164,16 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
                                                    tile_h=384)
         starts, valid, quality = correlator.find_bursts_phases(
             phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
-        valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
-                                              spec.max_trigger_errors)
-        hard, _ = correlator.extract_from_phases(
+        lead = (correlator.TRIGGER_SYMBOLS
+                if spec.max_trigger_errors >= 0 else 0)
+        ext = correlator.extract_from_phases(
             phases, starts, sps,
-            hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+            hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8,
+            lead=lead)
+        hard = ext[0]
+        if spec.max_trigger_errors >= 0:
+            valid = correlator.apply_trigger_gate_soft(
+                valid, ext[2], spec.max_trigger_errors)
         dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)
         return {
             "starts": starts, "valid": valid, "quality": quality,
@@ -222,11 +227,17 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
     phases = correlator.symbol_phase_streams(demod, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
-    valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
-                                          spec.max_trigger_errors)
-    hard, soft = correlator.extract_from_phases(
+    # trigger verification rides the capture extraction's plane read
+    # (lead symbols) instead of re-reading phases — the standalone gate
+    # measured ~8% of the whole RX block (tools/profile_gate_cost2.log)
+    lead = correlator.TRIGGER_SYMBOLS if spec.max_trigger_errors >= 0 else 0
+    ext = correlator.extract_from_phases(
         phases, starts, sps,
-        hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+        hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8, lead=lead)
+    hard = ext[0]
+    if spec.max_trigger_errors >= 0:
+        valid = correlator.apply_trigger_gate_soft(valid, ext[2],
+                                                   spec.max_trigger_errors)
     dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # batched (C, K, ...)
     rssi = (correlator.burst_rssi_blocks(pw_blk, starts, sps)
             if pw_blk is not None
@@ -280,11 +291,14 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
     phases = correlator.symbol_phase_streams(demod, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
-    valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
-                                          spec.max_trigger_errors)
-    hard, _ = correlator.extract_from_phases(
+    lead = correlator.TRIGGER_SYMBOLS if spec.max_trigger_errors >= 0 else 0
+    ext = correlator.extract_from_phases(
         phases, starts, sps,
-        hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+        hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8, lead=lead)
+    hard = ext[0]
+    if spec.max_trigger_errors >= 0:
+        valid = correlator.apply_trigger_gate_soft(valid, ext[2],
+                                                   spec.max_trigger_errors)
     dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # (G, C, K, ...)
     rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
     return {
@@ -433,8 +447,6 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         phases = correlator.symbol_phase_streams(dsp, sps)
         starts, valid, quality = correlator.find_bursts_phases(
             phases, sps, max_bursts, threshold, out_bf16=spec.corr_bf16)
-        valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
-                                              spec.max_trigger_errors)
         # completeness guard: a capture cut off by this row's window is
         # re-found complete by the right neighbor (via its halo) or the
         # next block (via iq_carry)
@@ -444,9 +456,16 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         # (the block mean cannot separate an FM-capture ghost from a
         # real burst sharing the block — correlator.burst_rssi)
         rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
-        hard, _ = correlator.extract_from_phases(
+        lead = (correlator.TRIGGER_SYMBOLS
+                if spec.max_trigger_errors >= 0 else 0)
+        ext = correlator.extract_from_phases(
             phases, starts, sps,
-            hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+            hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8,
+            lead=lead)
+        hard = ext[0]
+        if spec.max_trigger_errors >= 0:
+            valid = correlator.apply_trigger_gate_soft(
+                valid, ext[2], spec.max_trigger_errors)
         dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)
         # carried state pieces: only the LAST worker's wideband tail and
         # the LAST time row's IQ tails survive (sliced outside shard_map)

@@ -103,8 +103,6 @@ def _rx_stream_block(x, hist, demod_carry, prev_iq, pw_carry,
     phases = correlator.symbol_phase_streams(dsp, sps)
     starts, valid, quality = correlator.find_bursts_phases(
         phases, sps, max_bursts, threshold, out_bf16=corr_bf16)
-    valid = correlator.apply_trigger_gate(valid, phases, starts, sps,
-                                          trig_gate)
     # only report bursts whose full capture fits this window; one cut off
     # by the block edge is re-found complete in the next block's overlap
     valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
@@ -113,9 +111,17 @@ def _rx_stream_block(x, hist, demod_carry, prev_iq, pw_carry,
     # the block mean cannot separate an FM-capture ghost from a real
     # burst sharing the block (correlator.burst_rssi)
     rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
-    hard, _ = correlator.extract_from_phases(
+    # trigger verification rides the capture extraction's plane read
+    # (lead symbols; the standalone gate re-read phases, ~8% of the
+    # block — tools/profile_gate_cost2.log)
+    lead = correlator.TRIGGER_SYMBOLS if trig_gate >= 0 else 0
+    ext = correlator.extract_from_phases(
         phases, starts, sps,
-        hard_dtype=jnp.bfloat16 if io_bf16 else jnp.uint8)
+        hard_dtype=jnp.bfloat16 if io_bf16 else jnp.uint8, lead=lead)
+    hard = ext[0]
+    if trig_gate >= 0:
+        valid = correlator.apply_trigger_gate_soft(valid, ext[2],
+                                                   trig_gate)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     if ovr == 0:
@@ -199,13 +205,18 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
             starts, valid, quality = correlator.find_bursts_phases(
                 phases, sps, max_bursts, threshold,
                 out_bf16=spec.corr_bf16)
-            valid = correlator.apply_trigger_gate(
-                valid, phases, starts, sps, spec.max_trigger_errors)
             valid = valid & (starts + correlator.CAPTURE_SYMBOLS * sps
                              <= demod.shape[-1])
-            hard, _ = correlator.extract_from_phases(
+            lead = (correlator.TRIGGER_SYMBOLS
+                    if spec.max_trigger_errors >= 0 else 0)
+            ext = correlator.extract_from_phases(
                 phases, starts, sps,
-                hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8)
+                hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8,
+                lead=lead)
+            hard = ext[0]
+            if spec.max_trigger_errors >= 0:
+                valid = correlator.apply_trigger_gate_soft(
+                    valid, ext[2], spec.max_trigger_errors)
             dec = decoder.decode_bursts(hard, repeat_gate=spec.decode_repeat_gate)
             nc = st["carry"].shape[-1]
             st2 = {

@@ -536,15 +536,29 @@ def extract_bursts_batched(demod_p, starts, sps: int):
     return extract_from_phases(phases, starts, sps)
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "hard_dtype"))
-def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8):
+@functools.partial(jax.jit, static_argnames=("sps", "hard_dtype", "lead"))
+def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8,
+                        lead: int = 0):
     """Burst capture from precomputed phase streams (..., sps, nsym)
     (see extract_bursts_batched; sharing the streams with
     find_bursts_phases avoids recomputing the integrate-and-dump).
     hard_dtype: dtype of the hard 0/1 symbols — pass jnp.bfloat16 when
     the consumer is the symbol-domain decoder (rx/decoder.py), which
-    eats bf16 directly and skips a uint8 round-trip."""
+    eats bf16 directly and skips a uint8 round-trip.
+
+    ``lead``: additionally extract this many symbols PRECEDING each
+    start in the same one-hot pass and return them as a third output
+    (..., K, lead) — used with lead=TRIGGER_SYMBOLS so post-capture
+    trigger verification rides the capture's existing full-plane read
+    instead of re-reading phases (the standalone trigger_errors path
+    measured ~8%% of the whole RX block, tools/profile_gate_cost2.log).
+    lead <= 2*B - CAPTURE_SYMBOLS %% B keeps the block count unchanged,
+    so the extra symbols are free.  Candidates with start < lead*sps
+    are clamped to the window head (their windows are garbage; such
+    starts cannot come from find_bursts_phases, whose starts are
+    always >= TRIGGER_SYMBOLS*sps)."""
     B = SYM_BLOCK
+    assert 0 <= lead <= 2 * B - CAPTURE_SYMBOLS % B, lead
     nsym = phases.shape[-1]
     nb = -(-nsym // B)
     batch = phases.shape[:-2]
@@ -554,7 +568,7 @@ def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8):
     blocks = ph_pad.reshape(batch + (sps * nb, B))
     st = jnp.asarray(starts, jnp.int32)
     ph = st % sps
-    k0 = st // sps
+    k0 = jnp.maximum(st // sps - lead, 0)
     b0 = ph * nb + k0 // B                          # (..., K)
     r = k0 % B
     nout = -(-CAPTURE_SYMBOLS // B) + 1             # blocks incl realign
@@ -575,8 +589,29 @@ def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8):
             [flat[..., amt:],
              jnp.zeros(flat.shape[:-1] + (amt,), flat.dtype)], axis=-1)
         flat = jnp.where((r[..., None] & amt) > 0, shifted, flat)
-    soft = flat[..., :CAPTURE_SYMBOLS]
-    return _dc_slice(soft).astype(hard_dtype), soft
+    soft = flat[..., lead: lead + CAPTURE_SYMBOLS]
+    if lead == 0:
+        return _dc_slice(soft).astype(hard_dtype), soft
+    return _dc_slice(soft).astype(hard_dtype), soft, flat[..., :lead]
+
+
+def trigger_errors_soft(trig_soft):
+    """Trigger mismatch counts from extracted lead symbols
+    (..., K, TRIGGER_SYMBOLS) — the extraction-fused form of
+    trigger_errors (same DC-estimate hardening, same pattern)."""
+    soft = trig_soft.astype(jnp.float32)
+    dc = jnp.mean(soft, axis=-1, keepdims=True)
+    hard = soft >= dc
+    patt = jnp.asarray(trigger_template(1) > 0)      # (74,) expected
+    return jnp.sum(hard != patt, axis=-1).astype(jnp.int32)
+
+
+def apply_trigger_gate_soft(valid, trig_soft, max_err: int):
+    """valid &= trigger slices exactly, from extraction-fused lead
+    symbols; max_err < 0 disables."""
+    if max_err < 0:
+        return valid
+    return valid & (trigger_errors_soft(trig_soft) <= max_err)
 
 
 @functools.partial(jax.jit, static_argnames=("sps",))

@@ -472,3 +472,28 @@ def test_majority_tie_break_weights_are_bf16_exact():
         sums.add(t)
     # 2*sum(eps_votes) + sum(eps_nvote) < 1, the minimum non-tie margin
     assert 3 * eps.sum() < 1.0
+
+
+def test_fused_trigger_gate_matches_standalone():
+    """Extraction-fused trigger verification (lead symbols +
+    trigger_errors_soft) counts the same mismatches as the standalone
+    trigger_errors plane pass, for real triggers and for noise."""
+    import jax.numpy as jnp
+    words = recc_ms.page_response_words("5551234567")
+    rng = np.random.default_rng(5)
+    sps = 3
+    base = recc_ms.burst_symbols(words, dcc=0, sps=sps).astype(np.float32)
+    noise = np.repeat(rng.choice(np.array([-1, 1], np.float32), 3600), sps)
+    stream = np.concatenate([np.tile(np.array([1, -1], np.float32), 400),
+                             base, noise])
+    phases = correlator.symbol_phase_streams(stream, sps)
+    starts, valid, q = correlator.find_bursts_phases(
+        phases[None], sps, max_bursts=4, threshold=0.5)
+    want = np.asarray(correlator.trigger_errors(phases[None], starts, sps))
+    ext = correlator.extract_from_phases(
+        phases[None], starts, sps, lead=correlator.TRIGGER_SYMBOLS)
+    got = np.asarray(correlator.trigger_errors_soft(ext[2]))
+    assert np.array_equal(got, want), (got, want)
+    # and the capture symbols are unchanged by the lead
+    hard0, _ = correlator.extract_from_phases(phases[None], starts, sps)
+    assert np.array_equal(np.asarray(hard0), np.asarray(ext[0]))
