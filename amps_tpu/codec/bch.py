@@ -146,29 +146,47 @@ def _decode_table_packed(n_code: int) -> np.ndarray:
     return tab
 
 
+@functools.cache
+def _split_component_tables(key: bytes, shape) -> np.ndarray:
+    """(16, 256, 3) float32 component planes [pos1, pos2, valid] of a
+    packed (4096,) LUT (see packed_lut_lookup; cached on table bytes)."""
+    tab = np.frombuffer(key, dtype=np.int32).reshape(shape)
+    comp = np.stack([tab & 0xFF, (tab >> 8) & 0xFF, (tab >> 16) & 1],
+                    axis=-1).astype(np.float32)
+    assert comp.max() <= 255, "component planes must stay bf16-exact"
+    return comp.reshape(16, 256, 3)
+
+
 def packed_lut_lookup(idx, table: np.ndarray):
-    """table[idx] for a (4096,) int table WITHOUT a gather: a per-element
-    gather is ~72k serial scalar loads on the TPU (0.52 ms of the
-    1024-channel pipeline); three 16-way one-hot contractions over the
-    16^3-factored table cost 0.08 ms (tools/profile_dec9.out).  f32 is
-    exact for the packed values (< 2^17 < 2^24)."""
-    T3 = jnp.asarray(table.astype(np.float32).reshape(16, 16, 16))
-    i16 = jnp.arange(16, dtype=jnp.int32)
-    oh_a = ((idx // 256)[..., None] == i16).astype(jnp.float32)
-    oh_b = ((idx // 16 % 16)[..., None] == i16).astype(jnp.float32)
-    oh_c = ((idx % 16)[..., None] == i16).astype(jnp.float32)
-    # Precision.HIGHEST is LOAD-BEARING: at the TPU's default matmul
-    # precision, f32 contractions run as bf16 MXU passes, which round
-    # the table's 2^17-magnitude packed values to multiples of 512 —
-    # silently corrupting pos1/pos2 AND the valid bit (observed on
-    # chip: every BCH decode rejected while CPU accepted, tools/
-    # soak_tpu.out).  These contractions are tiny; exactness is free.
-    hi = jax.lax.Precision.HIGHEST
-    gf = jnp.einsum("...ab,...b->...a",
-                    jnp.einsum("abc,...c->...ab", T3, oh_c, precision=hi),
-                    oh_b, precision=hi)
-    return jnp.einsum("...a,...a->...", oh_a, gf,
-                      precision=hi).astype(jnp.int32)
+    """table[idx] for a (4096,) packed int table (pos1 | pos2 << 8 |
+    valid << 16) WITHOUT a gather: a per-element gather is ~72k serial
+    scalar loads on the TPU (0.52 ms of the 1024-channel pipeline);
+    factored one-hot contractions cost 0.08 ms (tools/profile_dec9.out).
+
+    SPLIT-COMPONENT FORM (bf16-exact at DEFAULT matmul precision): the
+    packed 2^17-magnitude values round to multiples of 512 in the MXU's
+    bf16 input pass at default precision (observed on chip: every BCH
+    decode rejected while CPU accepted, tools/soak_tpu.out; the r3 fix
+    was Precision.HIGHEST on the packed contraction — ~3x the dominant
+    matmul cost, docs/ROADMAP.md).  Contracting the three component
+    planes [pos1, pos2, valid] instead keeps every operand <= 255 —
+    integers <= 256 are EXACT in bfloat16 (8 significand bits), one-hot
+    selectors are 0/1, and the MXU accumulates in f32 (sums <= 255:
+    exact) — so default precision is exact and HIGHEST is retired
+    (tests/test_codec.py::test_packed_lut_split_components_bf16_exact).
+    The packed value is rebuilt in f32 (<= 196 863 < 2^24: exact)."""
+    T2 = jnp.asarray(_split_component_tables(table.tobytes(), table.shape))
+    oh_a = ((idx >> 8)[..., None] == jnp.arange(16, dtype=jnp.int32)) \
+        .astype(jnp.float32)
+    oh_r = ((idx & 0xFF)[..., None] == jnp.arange(256, dtype=jnp.int32)) \
+        .astype(jnp.float32)
+    g1 = jnp.einsum("ard,...r->...ad", T2, oh_r,
+                    preferred_element_type=jnp.float32)   # (..., 16, 3)
+    comp = jnp.einsum("...ad,...a->...d", g1, oh_a,
+                      preferred_element_type=jnp.float32)  # (..., 3)
+    packed = (comp[..., 0] + 256.0 * comp[..., 1]
+              + 65536.0 * comp[..., 2])
+    return packed.astype(jnp.int32)
 
 
 def _syndrome_packed(rx, n_code: int):

@@ -49,10 +49,15 @@ class SupervisionConfig:
     # demodulates to full-scale white phase noise — deviation-normalized
     # discriminator power ~pi^2/3/sens^2 ~ 4.7 — while a live FM
     # carrier's demod power is bounded by its modulation (voice+tones
-    # <~0.5).  Without this, random ST-bin hits on a dead carrier fire
-    # spurious flash events (observed on chip, tools/soak_voice_tpu.out
-    # run 1: 'flash' on slot B during the post-fade dead carrier).
-    max_power: float = 1.0
+    # <~0.5; full-deviation wideband data, e.g. RVC blank-and-burst,
+    # sits at ~1.0).  2.0 leaves headroom above the worst legitimate
+    # modulation (the r3 advisor flagged 1.0 as classifying legitimate
+    # +-1-deviation data frames as carrier loss) while staying >2x
+    # below the dead-carrier noise power.  Without this squelch, random
+    # ST-bin hits on a dead carrier fire spurious flash events
+    # (observed on chip, tools/soak_voice_tpu.out run 1: 'flash' on
+    # slot B during the post-fade dead carrier).
+    max_power: float = 2.0
 
 
 # call states

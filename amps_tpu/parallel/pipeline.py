@@ -173,7 +173,7 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         hard = ext[0]
         if spec.max_trigger_errors >= 0:
             valid = correlator.apply_trigger_gate_soft(
-                valid, ext[2], spec.max_trigger_errors)
+                valid, ext[2], spec.max_trigger_errors, starts, sps)
         dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)
         return {
             "starts": starts, "valid": valid, "quality": quality,
@@ -236,8 +236,8 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8, lead=lead)
     hard = ext[0]
     if spec.max_trigger_errors >= 0:
-        valid = correlator.apply_trigger_gate_soft(valid, ext[2],
-                                                   spec.max_trigger_errors)
+        valid = correlator.apply_trigger_gate_soft(
+            valid, ext[2], spec.max_trigger_errors, starts, sps)
     dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # batched (C, K, ...)
     rssi = (correlator.burst_rssi_blocks(pw_blk, starts, sps)
             if pw_blk is not None
@@ -297,8 +297,8 @@ def rx_multichannel_block_batched(xs, spec: MultichannelSpec,
         hard_dtype=jnp.bfloat16 if spec.io_bf16 else jnp.uint8, lead=lead)
     hard = ext[0]
     if spec.max_trigger_errors >= 0:
-        valid = correlator.apply_trigger_gate_soft(valid, ext[2],
-                                                   spec.max_trigger_errors)
+        valid = correlator.apply_trigger_gate_soft(
+            valid, ext[2], spec.max_trigger_errors, starts, sps)
     dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)  # (G, C, K, ...)
     rssi = correlator.burst_rssi_blocks(pw_blk, starts, sps)
     return {
@@ -380,7 +380,8 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
                                 demod_halo: Optional[int] = None,
                                 max_bursts: int = 2,
                                 threshold: float = 0.55,
-                                policy: str = "first_ok"):
+                                policy: str = "first_ok",
+                                supervision_slots: tuple = ()):
     """Jitted sharded streaming RX step: (x, state) -> (out, new_state).
 
     x: (N, 2) wideband riq, N % (tsize*csize*P) == 0, sharded over the
@@ -394,6 +395,15 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
     capture extends past a row's window are marked invalid and re-found
     complete by the right neighbor (or the next block) via the halo —
     the same completeness discipline as the single-device streamer.
+
+    ``supervision_slots``: static tuple of bank slots whose FRESH demod
+    samples are additionally returned as out["sup_demod"]
+    (tsize, n_slots, Nh_row) f32 — the sharded mirror of the
+    single-device receiver's RVC supervision tap (runtime/streamer.py
+    supervision_slots; the reference's RVC chain,
+    grc/ampsbs_rvc.grc second freq_xlating_fir -> NBFM RX).  Selection
+    is a one-hot (n_slots, c_loc) matmul on each chan rank + a psum —
+    the full (M, Nh_row) demod plane never leaves the mesh.
     """
     M, T, L, Phop, tsize, csize, c_loc, split = _mesh_consts(mesh, spec)
     sps = spec.chan_sps
@@ -401,6 +411,13 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         demod_halo = full_demod_halo(spec)
     halo_n = demod_halo + 1
     h = jnp.asarray(chz.prototype_taps(M, T))
+    sup_sel = None
+    if supervision_slots:
+        sel = np.zeros((len(supervision_slots), M), np.float32)
+        for i, s in enumerate(supervision_slots):
+            assert 0 <= s < M, (s, M)
+            sel[i, s] = 1.0
+        sup_sel = sel
 
     def rx_local(xl, hist, iq_carry, parity):
         # xl: (N_sub, 2) this worker's wideband sub-block
@@ -465,38 +482,53 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
         hard = ext[0]
         if spec.max_trigger_errors >= 0:
             valid = correlator.apply_trigger_gate_soft(
-                valid, ext[2], spec.max_trigger_errors)
+                valid, ext[2], spec.max_trigger_errors, starts, sps)
         dec = decoder.decode_bursts(hard, policy, spec.decode_repeat_gate)
         # carried state pieces: only the LAST worker's wideband tail and
         # the LAST time row's IQ tails survive (sliced outside shard_map)
         tail_x = x_ext[-(L - Phop):]
         tail_iq = ymine[:, :, -halo_n:].astype(jnp.float32)
         # leading local time axis so out_specs assemble global shapes
-        return (starts[None], valid[None], quality[None],
+        outs = (starts[None], valid[None], quality[None],
                 dec.words[None], dec.word_ok[None], chan_power[None],
                 dec.dcc_bits[None], dec.bad_symbols[None], rssi[None],
                 tail_x[None], tail_iq[None])
+        if sup_sel is not None:
+            # supervision tap: this row's FRESH demod samples on the
+            # designated slots (one-hot over local channels + psum;
+            # f32 like the single-device tap regardless of io_bf16)
+            sel_loc = lax.dynamic_slice_in_dim(
+                jnp.asarray(sup_sel), cidx * c_loc, c_loc, axis=1)
+            fresh = demod[:, -(n_sub * csize):].astype(jnp.float32)
+            sup = lax.psum(
+                jnp.einsum("sc,cn->sn", sel_loc, fresh,
+                           preferred_element_type=jnp.float32), "chan")
+            outs = outs + (sup[None],)
+        return outs
 
+    out_specs = (P("time", "chan", None),
+                 P("time", "chan", None),
+                 P("time", "chan", None),
+                 P("time", "chan", None, None, None),
+                 P("time", "chan", None, None),
+                 P("time", "chan"),
+                 P("time", "chan", None, None),
+                 P("time", "chan", None, None),
+                 P("time", "chan", None),
+                 P(("time", "chan"), None, None),
+                 P("time", None, "chan", None))
+    if sup_sel is not None:
+        out_specs = out_specs + (P("time", None, None),)
     sharded = shard_map(
         rx_local, mesh=mesh,
         in_specs=(P(("time", "chan"), None), P(None, None),
                   P(None, None, None), P()),
-        out_specs=(P("time", "chan", None),
-                   P("time", "chan", None),
-                   P("time", "chan", None),
-                   P("time", "chan", None, None, None),
-                   P("time", "chan", None, None),
-                   P("time", "chan"),
-                   P("time", "chan", None, None),
-                   P("time", "chan", None, None),
-                   P("time", "chan", None),
-                   P(("time", "chan"), None, None),
-                   P("time", None, "chan", None)))
+        out_specs=out_specs)
 
     def step(x, state):
+        res = sharded(x, state["hist"], state["iq_carry"], state["parity"])
         (starts, valid, quality, words, word_ok, chan_power, dcc_bits,
-         bad_symbols, rssi, tails_x, tails_iq) = sharded(
-            x, state["hist"], state["iq_carry"], state["parity"])
+         bad_symbols, rssi, tails_x, tails_iq) = res[:11]
         # pass through TX-side state (syn_carry, tx_parity) untouched
         new_state = dict(state)
         new_state.update(
@@ -508,6 +540,8 @@ def make_sharded_rx_stream_step(mesh: Mesh, spec: MultichannelSpec,
                "words": words, "word_ok": word_ok,
                "chan_power": chan_power, "dcc_bits": dcc_bits,
                "bad_symbols": bad_symbols, "rssi": rssi}
+        if sup_sel is not None:
+            out["sup_demod"] = res[11]
         return out, new_state
 
     return jax.jit(step)
@@ -522,7 +556,8 @@ def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
                                 threshold: float = 0.55,
                                 policy: str = "first_ok",
                                 rx_external: bool = False,
-                                tx_sources: bool = False):
+                                tx_sources: bool = False,
+                                supervision_slots: tuple = ()):
     """Jitted sharded streaming FULL step: TX words -> wideband -> decode.
 
     (word_pairs, state [, src_mode, src_bb] [, x_rx]) -> (out, new_state).
@@ -563,7 +598,8 @@ def make_sharded_bs_stream_step(mesh: Mesh, spec: MultichannelSpec,
     h = jnp.asarray(chz.prototype_taps(M, T))
     sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
     rx_step = make_sharded_rx_stream_step(mesh, spec, demod_halo,
-                                          max_bursts, threshold, policy)
+                                          max_bursts, threshold, policy,
+                                          supervision_slots)
     Wk = tsize * csize
 
     def tx_core(bb, syn_carry, parity):

@@ -46,7 +46,18 @@ class ShardedReceiver:
                  policy: str = "majority",
                  demod_halo: Optional[int] = None,
                  min_rssi: float = 0.0,
-                 require_word_a: bool = True):
+                 require_word_a: bool = True,
+                 supervision_slots: tuple = (),
+                 on_supervision: Optional[Callable] = None):
+        """``supervision_slots`` + ``on_supervision``: per-block SAT/ST
+        supervision measurement on the given bank slots — the sharded
+        mirror of MultichannelReceiver's RVC tap.  The sharded step
+        returns the designated slots' fresh demod rows (device-side
+        one-hot selection, parallel/pipeline.py); the host assembles
+        them in time order, carries the sub-frame leftover across
+        blocks exactly like the single-device receiver, and the
+        callback receives (slot, levels (F, n_tones), power (F,)) per
+        block, ready for BaseStation.push_supervision."""
         self.spec = spec
         self.M = spec.num_channels
         self.sps = spec.chan_sps
@@ -59,6 +70,11 @@ class ShardedReceiver:
         self.max_bursts = max_bursts
         self.threshold = threshold
         self.policy = policy
+        self.supervision_slots = tuple(supervision_slots)
+        self.on_supervision = on_supervision
+        self._sup_carry = (np.zeros((len(self.supervision_slots), 0),
+                                    np.float32)
+                           if self.supervision_slots else None)
         self.tsize = mesh.shape["time"]
         self._hop = self.M // 2
         self._step = self._make_step()
@@ -74,7 +90,7 @@ class ShardedReceiver:
     def _make_step(self):
         return make_sharded_rx_stream_step(
             self.mesh, self.spec, self.ovr, self.max_bursts,
-            self.threshold, self.policy)
+            self.threshold, self.policy, self.supervision_slots)
 
     def push(self, x_block) -> List[BurstReport]:
         """Process one wideband block; returns new (deduplicated)
@@ -83,7 +99,35 @@ class ShardedReceiver:
         x = jnp.asarray(x_block, jnp.float32)
         self._last_block_len = int(x.shape[0])
         out, self._state = self._step(x, self._state)
+        self._push_supervision(out)
         return self._extract_reports(out, int(x.shape[0]))
+
+    def _push_supervision(self, out) -> None:
+        """Assemble the per-row supervision demod tap in time order and
+        run the framed tone measurement — identical frame discipline to
+        MultichannelReceiver._drain_one (sub-frame leftover carried
+        across blocks so SAT/ST timers track wall time exactly)."""
+        if not self.supervision_slots:
+            return
+        from amps_tpu.rx.voice import supervision_levels
+        sup = np.asarray(jax.device_get(out["sup_demod"]), np.float32)
+        # (tsize, S, nh_row) rows -> (S, tsize*nh_row) continuous stream
+        dem = np.concatenate([sup[r] for r in range(sup.shape[0])],
+                             axis=-1)
+        dem = np.concatenate([self._sup_carry, dem], axis=-1)
+        fs = float(self.spec.pipe.chan_rate)
+        frame = int(fs * 0.01)                         # 10 ms frames
+        nf = dem.shape[-1] // frame
+        self._sup_carry = dem[:, nf * frame:]
+        if nf < 1:
+            return
+        sens = 2.0 * np.pi * self.spec.pipe.deviation_hz / fs
+        lv, pw = supervision_levels(
+            jnp.asarray(dem[:, : nf * frame]) / sens, frame, fs)
+        lv, pw = np.asarray(lv), np.asarray(pw)
+        if self.on_supervision:
+            for i, slot in enumerate(self.supervision_slots):
+                self.on_supervision(slot, lv[i], pw[i])
 
     def _extract_reports(self, out, n_samples: int) -> List[BurstReport]:
         """Host-side report discipline shared with ShardedTransceiver:
@@ -210,7 +254,7 @@ class ShardedTransceiver(ShardedReceiver):
         return make_sharded_bs_stream_step(
             self.mesh, self.spec, self.ovr, self.max_bursts,
             self.threshold, self.policy, rx_external=True,
-            tx_sources=True)
+            tx_sources=True, supervision_slots=self.supervision_slots)
 
     def set_channel_source(self, k: int, source) -> None:
         """Install a baseband source for slot k: source(n_hops) ->
@@ -238,6 +282,7 @@ class ShardedTransceiver(ShardedReceiver):
         out, self._state = self._step(
             jnp.asarray(wp), self._state, jnp.asarray(self._mode),
             jnp.asarray(src), x)
+        self._push_supervision(out)
         reports = self._extract_reports(out, int(x.shape[0]))
         return np.asarray(out["tx_wideband"]), reports
 

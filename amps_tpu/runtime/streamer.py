@@ -121,7 +121,7 @@ def _rx_stream_block(x, hist, demod_carry, prev_iq, pw_carry,
     hard = ext[0]
     if trig_gate >= 0:
         valid = correlator.apply_trigger_gate_soft(valid, ext[2],
-                                                   trig_gate)
+                                                   trig_gate, starts, sps)
     ovr = demod_carry.shape[-1]
     new_carry = demod[:, -ovr:] if ovr > 0 else demod[:, :0]
     if ovr == 0:
@@ -216,7 +216,7 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
             hard = ext[0]
             if spec.max_trigger_errors >= 0:
                 valid = correlator.apply_trigger_gate_soft(
-                    valid, ext[2], spec.max_trigger_errors)
+                    valid, ext[2], spec.max_trigger_errors, starts, sps)
             dec = decoder.decode_bursts(hard, repeat_gate=spec.decode_repeat_gate)
             nc = st["carry"].shape[-1]
             st2 = {

@@ -552,13 +552,17 @@ def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8,
     trigger verification rides the capture's existing full-plane read
     instead of re-reading phases (the standalone trigger_errors path
     measured ~8%% of the whole RX block, tools/profile_gate_cost2.log).
-    lead <= 2*B - CAPTURE_SYMBOLS %% B keeps the block count unchanged,
-    so the extra symbols are free.  Candidates with start < lead*sps
-    are clamped to the window head (their windows are garbage; such
-    starts cannot come from find_bursts_phases, whose starts are
-    always >= TRIGGER_SYMBOLS*sps)."""
+    The assert bounds lead so the capture tail can never be shifted
+    past the extracted buffer: the realign offset r reaches B-1, so
+    lead + CAPTURE_SYMBOLS + (B-1) must fit in nout*B (r3 advisor
+    finding — the old 2*B - CAPTURE%%B bound silently zero-truncated
+    tail symbols for lead in (83, 210]).  Lead symbols before the
+    window start select nothing and come back as zeros (floor-division
+    targeting, same as trigger_errors); trigger_errors_soft masks them
+    out of its mismatch count."""
     B = SYM_BLOCK
-    assert 0 <= lead <= 2 * B - CAPTURE_SYMBOLS % B, lead
+    nout = -(-CAPTURE_SYMBOLS // B) + 1             # blocks incl realign
+    assert 0 <= lead <= nout * B - CAPTURE_SYMBOLS - (B - 1), lead
     nsym = phases.shape[-1]
     nb = -(-nsym // B)
     batch = phases.shape[:-2]
@@ -568,16 +572,18 @@ def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8,
     blocks = ph_pad.reshape(batch + (sps * nb, B))
     st = jnp.asarray(starts, jnp.int32)
     ph = st % sps
-    k0 = jnp.maximum(st // sps - lead, 0)
+    k0 = st // sps - lead                           # may be < 0: floor
     b0 = ph * nb + k0 // B                          # (..., K)
-    r = k0 % B
-    nout = -(-CAPTURE_SYMBOLS // B) + 1             # blocks incl realign
+    r = k0 % B                                      # Python mod: >= 0
     tgt = b0[..., None] + jnp.arange(nout)          # (..., K, nout)
-    # clamp to phase p's own block range: a capture window crossing the
-    # stream tail must read zeros, not the NEXT phase's blocks (this is
-    # what a CAPTURE_SYMBOLS*sps zero pad used to mask — the clamp makes
-    # the pad unnecessary)
-    tgt = jnp.where(tgt < (ph + 1)[..., None] * nb, tgt, sps * nb)
+    # keep only phase p's own block range: a window crossing the stream
+    # tail must read zeros, not the NEXT phase's blocks, and lead
+    # symbols before the stream head must read zeros, not the PREVIOUS
+    # phase's blocks (this is what a zero pad used to mask — the range
+    # mask makes the pad unnecessary)
+    in_range = ((tgt >= ph[..., None] * nb)
+                & (tgt < (ph + 1)[..., None] * nb))
+    tgt = jnp.where(in_range, tgt, sps * nb)
     sel = (tgt[..., None] == jnp.arange(sps * nb)).astype(blocks.dtype)
     coarse = jnp.einsum("...kjb,...bl->...kjl", sel, blocks,
                         preferred_element_type=jnp.float32) \
@@ -595,23 +601,36 @@ def extract_from_phases(phases, starts, sps: int, hard_dtype=jnp.uint8,
     return _dc_slice(soft).astype(hard_dtype), soft, flat[..., :lead]
 
 
-def trigger_errors_soft(trig_soft):
+def trigger_errors_soft(trig_soft, starts=None, sps: int = 1):
     """Trigger mismatch counts from extracted lead symbols
     (..., K, TRIGGER_SYMBOLS) — the extraction-fused form of
-    trigger_errors (same DC-estimate hardening, same pattern)."""
+    trigger_errors (same DC-estimate hardening, same pattern).
+
+    ``starts`` (optional, SAMPLE units): mask symbols that precede the
+    stream head — extract_from_phases returns zeros there, which would
+    otherwise score against the template (~37 mismatches) where the
+    standalone trigger_errors counts only in-window symbols (r3 advisor
+    finding).  find_bursts_phases starts are always
+    >= TRIGGER_SYMBOLS*sps, so omitting starts is equivalent for them."""
     soft = trig_soft.astype(jnp.float32)
     dc = jnp.mean(soft, axis=-1, keepdims=True)
     hard = soft >= dc
     patt = jnp.asarray(trigger_template(1) > 0)      # (74,) expected
-    return jnp.sum(hard != patt, axis=-1).astype(jnp.int32)
+    bad = hard != patt
+    if starts is not None:
+        st = jnp.asarray(starts, jnp.int32)
+        n_cut = jnp.maximum(TRIGGER_SYMBOLS - st // sps, 0)
+        bad = bad & (jnp.arange(TRIGGER_SYMBOLS) >= n_cut[..., None])
+    return jnp.sum(bad, axis=-1).astype(jnp.int32)
 
 
-def apply_trigger_gate_soft(valid, trig_soft, max_err: int):
+def apply_trigger_gate_soft(valid, trig_soft, max_err: int,
+                            starts=None, sps: int = 1):
     """valid &= trigger slices exactly, from extraction-fused lead
     symbols; max_err < 0 disables."""
     if max_err < 0:
         return valid
-    return valid & (trigger_errors_soft(trig_soft) <= max_err)
+    return valid & (trigger_errors_soft(trig_soft, starts, sps) <= max_err)
 
 
 @functools.partial(jax.jit, static_argnames=("sps",))

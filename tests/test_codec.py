@@ -186,27 +186,51 @@ def test_recc_parsers_golden(rng):
         assert int(pb["SDCC1"][i]) == wb["SDCC1"]
 
 
-def test_packed_lut_lookup_requests_exact_precision():
-    """The packed-LUT contractions carry 2^17-magnitude table values;
-    at the TPU's DEFAULT matmul precision they run as bf16 MXU passes
-    that round those to multiples of 512 — observed on chip as every
-    BCH decode rejected (word_ok all False) while CPU accepted
-    (tools/soak_tpu.out).  CPU cannot reproduce the rounding, so guard
-    the fix structurally: every dot in the lookup must request HIGHEST
-    precision."""
-    import jax
+def test_packed_lut_split_components_bf16_exact():
+    """The syndrome-LUT lookup runs at DEFAULT matmul precision, where
+    the TPU lowers f32 contractions to bf16 MXU input passes.  The r2
+    chip incident: packed 2^17-magnitude values rounded to multiples of
+    512 — every BCH decode rejected on chip while CPU stayed green
+    (tools/soak_tpu.out).  The split-component form keeps every operand
+    <= 255 (exact in bf16) and rebuilds the packed value in f32.  CPU
+    cannot reproduce the MXU rounding, so guard the property directly:
+
+    1. every component-plane value must survive a bf16 round-trip;
+    2. the FULL lookup over all 4096 syndromes, with every contraction
+       operand explicitly pre-rounded to bf16 (emulating the MXU input
+       pass), must equal the numpy table bit-exactly;
+    3. the packed rebuild must stay below f32's 2^24 integer-exact
+       range."""
     import jax.numpy as jnp
-    from amps_tpu.codec.bch import (packed_lut_lookup,
+    from amps_tpu.codec.bch import (_split_component_tables,
+                                    packed_lut_lookup,
                                     recc_decode_table_packed)
 
     table = recc_decode_table_packed()
-    jaxpr = jax.make_jaxpr(
-        lambda i: packed_lut_lookup(i, table))(jnp.zeros((4,), jnp.int32))
-    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
-    assert dots, "lookup no longer uses contractions; update this test"
-    for e in dots:
-        prec = e.params.get("precision")
-        assert prec is not None and "HIGHEST" in str(prec), (e.params,)
+    comp = _split_component_tables(table.tobytes(), table.shape)
+    # 1: bf16-exact component planes (integers <= 256 are representable)
+    assert comp.max() <= 255
+    assert np.array_equal(
+        np.asarray(jnp.asarray(comp).astype(jnp.bfloat16), np.float32),
+        comp)
+    # 3: packed rebuild headroom
+    assert int((comp[..., 0] + 256 * comp[..., 1]
+                + 65536 * comp[..., 2]).max()) < 2 ** 24
+
+    # 2: emulate the MXU bf16 input pass end to end
+    idx = jnp.arange(4096, dtype=jnp.int32)
+    T2 = jnp.asarray(comp).astype(jnp.bfloat16).astype(jnp.float32)
+    oh_a = ((idx >> 8)[..., None] == jnp.arange(16)) \
+        .astype(jnp.bfloat16).astype(jnp.float32)
+    oh_r = ((idx & 0xFF)[..., None] == jnp.arange(256)) \
+        .astype(jnp.bfloat16).astype(jnp.float32)
+    g1 = jnp.einsum("ard,...r->...ad", T2, oh_r)
+    comp_sel = jnp.einsum("...ad,...a->...d", g1, oh_a)
+    packed = (comp_sel[..., 0] + 256.0 * comp_sel[..., 1]
+              + 65536.0 * comp_sel[..., 2]).astype(jnp.int32)
+    assert np.array_equal(np.asarray(packed), table)
+    # and the product lookup itself agrees on every syndrome
+    assert np.array_equal(np.asarray(packed_lut_lookup(idx, table)), table)
 
 
 def _all_patterns(n):

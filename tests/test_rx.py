@@ -497,3 +497,39 @@ def test_fused_trigger_gate_matches_standalone():
     # and the capture symbols are unchanged by the lead
     hard0, _ = correlator.extract_from_phases(phases[None], starts, sps)
     assert np.array_equal(np.asarray(hard0), np.asarray(ext[0]))
+
+
+def test_fused_trigger_gate_matches_standalone_head_starts():
+    """r3 advisor finding: for candidate starts < TRIGGER_SYMBOLS*sps
+    (the trigger window extends before the stream head) the fused gate
+    used to clamp the extraction window and score stream-head symbols
+    against the template (~37 errors) where the standalone
+    trigger_errors masks before-window symbols.  With floor-division
+    targeting + the starts mask, the two paths must agree for ANY
+    start — and the capture itself must stay aligned (the old clamp
+    also shifted the capture for such starts)."""
+    import jax.numpy as jnp
+    words = recc_ms.page_response_words("5551234567")
+    sps = 3
+    base = recc_ms.burst_symbols(words, dcc=0, sps=sps).astype(np.float32)
+    # burst begins AT the stream head: capture start = trigger end =
+    # 74 symbols in, and we probe candidate starts both before and
+    # after TRIGGER_SYMBOLS*sps
+    stream = np.concatenate([base, np.zeros(2000 * sps, np.float32)])
+    phases = correlator.symbol_phase_streams(stream, sps)
+    # the true capture start is symbol 82 (30 dotting + 11 sync bits);
+    # the others probe the head-clipped region
+    cand = jnp.asarray([[0, 50, 74 * sps - 1, 74 * sps, 82 * sps]],
+                       jnp.int32)
+    want = np.asarray(correlator.trigger_errors(phases[None], cand, sps))
+    ext = correlator.extract_from_phases(
+        phases[None], cand, sps, lead=correlator.TRIGGER_SYMBOLS)
+    got = np.asarray(correlator.trigger_errors_soft(ext[2], cand, sps))
+    assert np.array_equal(got, want), (got, want)
+    # capture alignment: the lead variant must extract the same capture
+    # symbols as the lead=0 variant for every candidate, including the
+    # head-clipped ones
+    hard0, _ = correlator.extract_from_phases(phases[None], cand, sps)
+    assert np.array_equal(np.asarray(hard0), np.asarray(ext[0]))
+    # the true burst (capture start at symbol 82) slices its trigger clean
+    assert got[0, 4] <= 2, got
