@@ -46,7 +46,10 @@ def _rx_trials(iq, words_true, sps: int, policy: str,
     match = jnp.all(dec.words[:, :nw] == words_true[None], axis=-1)
     detected = valid[:, 0]
     word_good = ok & match & detected[:, None]
-    return detected, word_good
+    # diagnostics: repeat_used == -1 marks words decoded by the majority
+    # vote itself (vs the first_ok fallback) — the lever behind the
+    # 0 dB majority anomaly (docs/BER.md)
+    return detected, word_good, dec.repeat_used[:, :nw]
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "n", "policy",
@@ -110,18 +113,26 @@ def recc_link_curve(snr_dbs: Sequence[float], trials: int = 32,
         sigma = np.sqrt(sigma_c2 / 2.0)  # per I/Q component
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, trials)
-        detected, word_good = _trial_batch(
+        detected, word_good, used = _trial_batch(
             iq, jnp.float32(sigma), keys, words_true, sps, n, policy,
             repeat_gate)
         detected = np.asarray(detected)
         word_good = np.asarray(word_good)
+        used = np.asarray(used)
         nw = word_good.shape[1]
-        out[float(snr)] = {
+        rec = {
             "detect_rate": float(detected.mean()),
             "word_success_rate": float(word_good.mean()),
             "trials": trials,
             "words_per_burst": nw,
         }
+        if policy == "majority" and detected.any():
+            # of the words counted good, how many came from the vote
+            # itself (used == -1) vs the first_ok fallback?
+            good = word_good & detected[:, None]
+            rec["majority_vote_fraction"] = (
+                float((good & (used == -1)).sum() / max(good.sum(), 1)))
+        out[float(snr)] = rec
     return out
 
 
@@ -154,7 +165,7 @@ def recc_fading_curve(snr_dbs: Sequence[float], doppler_hz: float = 77.0,
     for snr in snr_dbs:
         sigma = np.sqrt(10.0 ** (-snr / 10.0) / 2.0)
         key, sub = jax.random.split(key)
-        detected, word_good = _trial_batch_iq(
+        detected, word_good, _used = _trial_batch_iq(
             faded, jnp.float32(sigma), sub, words_true, sps, n, policy,
             repeat_gate)
         detected = np.asarray(detected)

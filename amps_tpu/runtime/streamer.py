@@ -138,7 +138,7 @@ def _rx_stream_block(x, hist, demod_carry, prev_iq, pw_carry,
 
 def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
                             frames: int = 2, max_bursts: int = 2,
-                            threshold: float = 0.55):
+                            threshold: float = 0.55, chunks: int = 1):
     """Fused full-duplex closed-loop stream: ONE jitted program that
     lax.scans ``nblocks`` consecutive superframe blocks through the
     complete TX -> RF -> RX pipeline (FOCC framing -> FSK -> synthesis
@@ -152,6 +152,15 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
     Returns (run, block_samples): ``run(word_pairs)`` -> (n_valid,
     quality_max, n_word_ok) scalars; word_pairs (M, frames, 2, 28).
     Sustained Msps = nblocks * block_samples / wall_time.
+
+    ``chunks`` > 1 (VERDICT r3 item 7): split the scan into ``chunks``
+    back-to-back jitted invocations of nblocks/chunks iterations each,
+    with the carried state DONATED between them — the host enqueues all
+    chunk dispatches before the first finishes, so the stream regains
+    the queue-depth dispatch amortization the standalone block numbers
+    enjoy while keeping every block's state device-resident.  Block
+    sequence and counts are identical to the single scan
+    (tests/test_runtime.py::test_chunked_closed_loop_matches_single).
     """
     import jax
     from jax import lax
@@ -174,21 +183,24 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
     # scan on CPU; tools/profile_cl2.out variants F/G on chip)
     assert n_hops % 2 == 0
 
-    @jax.jit
-    def run(word_pairs):
-        # framing + FSK hoisted out of the scan (the same superframe
-        # repeats; the synthesis/analysis/decode chain still does full
-        # per-block work on carried state)
-        bits = focc_frame_bits(word_pairs)                 # (M, nb)
-        bb, _ = fsk_manchester_baseband(bits, sps, sens)   # (M, n, 2)
-        Y = jnp.swapaxes(bb, 0, 1)                         # (n, M, 2)
-        state0 = {
+    def _state0():
+        return {
             "syn_carry": jnp.zeros((L - P, 2), jnp.float32),
             "hist": jnp.zeros((L - P, 2), jnp.float32),
             "carry": jnp.zeros((M, min(ovr, n_hops)), jnp.float32),
             "prev": jnp.zeros((M, 2), jnp.float32),
         }
 
+    # framing + FSK hoisted out of the scan (the same superframe
+    # repeats; the synthesis/analysis/decode chain still does full
+    # per-block work on carried state)
+    @jax.jit
+    def _prep(word_pairs):
+        bits = focc_frame_bits(word_pairs)                 # (M, nb)
+        bb, _ = fsk_manchester_baseband(bits, sps, sens)   # (M, n, 2)
+        return jnp.swapaxes(bb, 0, 1)                      # (n, M, 2)
+
+    def _make_body(Y):
         def body(st, _):
             x, syn_tail = chz._synthesize_block(
                 Y, h, M, T, 0, st["syn_carry"],
@@ -229,11 +241,42 @@ def make_closed_loop_stream(spec: MultichannelSpec, nblocks: int,
                    jnp.sum(dec.word_ok))
             return st2, out
 
-        # unroll=2: per-iteration scan overhead measured +7% on chip
-        # (tools/profile_cl2.out D vs C)
-        _, (v, q, wok) = lax.scan(body, state0, None, length=nblocks,
-                                  unroll=2)
-        return jnp.sum(v), jnp.max(q), jnp.sum(wok)
+        return body
+
+    if chunks <= 1:
+        @jax.jit
+        def run(word_pairs):
+            Y = _prep(word_pairs)
+            # unroll=2: per-iteration scan overhead measured +7% on chip
+            # (tools/profile_cl2.out D vs C)
+            _, (v, q, wok) = lax.scan(_make_body(Y), _state0(), None,
+                                      length=nblocks, unroll=2)
+            return jnp.sum(v), jnp.max(q), jnp.sum(wok)
+
+        return run, block_samples
+
+    per = nblocks // chunks
+    assert per * chunks == nblocks, (nblocks, chunks)
+
+    # donate the carried state: each chunk writes its successor's state
+    # into the same buffers, and the host can enqueue every chunk before
+    # the first finishes (queue-depth dispatch amortization)
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def _chunk(Y, st):
+        st2, (v, q, wok) = lax.scan(_make_body(Y), st, None,
+                                    length=per, unroll=2)
+        return st2, (jnp.sum(v), jnp.max(q), jnp.sum(wok))
+
+    def run(word_pairs):
+        Y = _prep(word_pairs)
+        st = _state0()
+        outs = []
+        for _ in range(chunks):
+            st, o = _chunk(Y, st)
+            outs.append(o)
+        return (jnp.sum(jnp.stack([o[0] for o in outs])),
+                jnp.max(jnp.stack([o[1] for o in outs])),
+                jnp.sum(jnp.stack([o[2] for o in outs])))
 
     return run, block_samples
 

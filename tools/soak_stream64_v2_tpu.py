@@ -46,10 +46,20 @@ NBLOCKS = 64
 total_hops = BLOCK_HOPS * NBLOCKS
 rng = np.random.default_rng(41)
 events = random_events(150, spec, total_hops, seed=41)
+MIN_RSSI = 0.05
+# the ACTIVE gate configuration, echoed so every run's artifact is
+# self-describing (VERDICT r3 item 5: the v2 artifact's run 1 predated
+# the rssi/repeat gates and that was only recorded in ROADMAP prose)
+GATES = dict(max_trigger_errors=spec.max_trigger_errors,
+             repeat_gate=spec.repeat_gate, min_rssi=MIN_RSSI,
+             require_word_a=True, policy="majority", threshold=0.55,
+             io_bf16=spec.io_bf16, corr_bf16=spec.corr_bf16,
+             transform_bf16=spec.transform_bf16)
 emit(event="start", device=str(jax.devices()[0]), M=1024,
      blocks=NBLOCKS, block_hops=BLOCK_HOPS, n_events=len(events),
+     gates=GATES,
      mode="stream64 v2: CFO +-2.1kHz, Rayleigh fd 2-80Hz, random DCC, "
-          "noise, checkpoint/restore at block 32, trigger gate 6 + per-burst rssi 0.05")
+          "noise, checkpoint/restore at block 32")
 
 pipe = spec.pipe
 fs = float(pipe.chan_rate)
@@ -88,7 +98,7 @@ def make_rx():
     # their fade-mean (~0.5+) while bf16-leakage FM-capture ghosts sit
     # at the ~0.02 leakage floor (tools/probe_gate_tpu.out)
     return MultichannelReceiver(spec, threshold=0.55, max_bursts=6,
-                                min_rssi=0.05)
+                                min_rssi=MIN_RSSI)
 
 
 rx = make_rx()
