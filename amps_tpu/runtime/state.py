@@ -205,6 +205,10 @@ def snapshot_sharded_receiver(rx) -> Dict[str, np.ndarray]:
         "last_block_len": np.int64(rx._last_block_len),
         "flushed": np.int64(rx._flushed),
     }
+    if getattr(rx, "_sup_carry", None) is not None:
+        # sub-frame supervision leftover: without it a resume drops up
+        # to one 10 ms frame and SAT/ST timers drift by that much
+        snap["sup_carry"] = rx._sup_carry.copy()
     for k, v in rx._state.items():
         snap[f"st_{k}"] = np.asarray(v)
     return snap
@@ -219,6 +223,11 @@ def restore_sharded_receiver(snap, rx) -> None:
     rx._last_seen = np.asarray(snap["last_seen"]).copy()
     rx._last_block_len = int(snap["last_block_len"])
     rx._flushed = bool(snap["flushed"])
+    keys = snap.files if hasattr(snap, "files") else snap.keys()
+    if "sup_carry" in keys and getattr(rx, "_sup_carry", None) is not None:
+        sc = np.asarray(snap["sup_carry"], np.float32)
+        if sc.shape[0] == rx._sup_carry.shape[0]:
+            rx._sup_carry = sc.copy()
     rx._state = {k[3:]: jnp.asarray(snap[k]) for k in snap.files
                  if k.startswith("st_")} if hasattr(snap, "files") else {
         k[3:]: jnp.asarray(v) for k, v in snap.items()

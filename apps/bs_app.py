@@ -158,15 +158,27 @@ def _run_mesh(args, result: dict | None = None):
     rxh = T * r
     sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
 
-    # optional scripted mobile on the reverse band
+    # optional scripted mobile on the reverse band:
+    #   mobile:<MIN>                      — answers a page, then hangs up
+    #   mobile:<MIN>:originate:<digits>   — originates the call itself
     mob = None
+    mob_action = None
     for ev in args.simulate:
         parts = ev.split(":")
         if parts[0] == "mobile":
             mob = SimMobile(parts[1], sps=SPS, system=system)
+            if len(parts) > 2:
+                mob_action = tuple(parts[2:])
     REVERSE_SLOT = 3
     ana_state = {"s": chz.analyzer_init(spec.chz_spec)}
-    sched = {"ring": 0, "conv": 0}
+    # the reverse-band "ether" is a CONTINUOUS stream: its synthesis
+    # state must carry across blocks — a fresh synthesizer per block
+    # injects a full-scale ~55-sample glitch at every boundary whose FM
+    # click breaks supervision tone runs (observed: a 1.9 s release-ST
+    # run read as four flash-length pieces and the release mis-fired
+    # via the fade timeout)
+    rev_state = {"s": chz.synthesizer_init(spec.chz_spec)}
+    sched = {"ring": 0, "conv": 0, "block": 0}
 
     def one_block():
         """One full-duplex sharded block: reverse band in, TX out, the
@@ -181,8 +193,8 @@ def _run_mesh(args, result: dict | None = None):
             if mob.voice_chan in chan_to_slot:
                 Y[:, chan_to_slot[mob.voice_chan]] += \
                     mob.rvc_baseband(rxh, float(spec.pipe.chan_rate), sens)
-        x_rx, _ = chz.synthesize(Y, spec.chz_spec,
-                                 chz.synthesizer_init(spec.chz_spec))
+        x_rx, rev_state["s"] = chz.synthesize(Y, spec.chz_spec,
+                                              rev_state["s"])
         tx, _reports = trx.push(np.asarray(x_rx))
         if mob is not None:
             ya, ana_state["s"] = chz.analyze(tx, spec.chz_spec,
@@ -192,8 +204,13 @@ def _run_mesh(args, result: dict | None = None):
                 quadrature_demod(ya[:, args.control_slot])[0]), sps=SPS)
             mob.hear_fvc(np.asarray(
                 quadrature_demod(ya[:, fvc_slot])[0]), sps=SPS)
-            # scripted user: answer one block after ringing starts,
-            # hang up after three conversation blocks
+            # scripted user: originate once the FOCC has been heard (if
+            # asked), answer one block after ringing starts, hang up
+            # after three conversation blocks
+            sched["block"] += 1
+            if (mob_action and mob_action[0] == "originate"
+                    and sched["block"] == 2 and mob.state == "idle"):
+                mob.originate(mob_action[1])
             if mob.state == "ringing":
                 sched["ring"] += 1
                 if sched["ring"] >= 2:

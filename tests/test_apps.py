@@ -76,11 +76,51 @@ def test_mesh_bs_full_call_lifecycle():
     assert mob.log[:4] == ["paged", "assigned 355", "ringing", "answered"], \
         mob.log
     assert "hang_up" in mob.log
-    sup_kinds = [e.payload.kind for e in station.events
-                 if e.kind == "supervision_event"]
+    sup_events = [e.payload for e in station.events
+                  if e.kind == "supervision_event"]
+    sup_kinds = [e.kind for e in sup_events]
     assert "answer" in sup_kinds, sup_kinds
     assert "release" in sup_kinds, sup_kinds
+    # zero unexpected events: no flash/extra answers on this timeline
+    assert set(sup_kinds) <= {"answer", "sat_lost", "sat_back",
+                              "release"}, sup_kinds
+    # the mobile hung up: the release must be the ST release, not a
+    # fade timeout (a fade release here means tone runs are breaking —
+    # e.g. the block-boundary FM-click bug this test now guards)
+    rel = next(e for e in sup_events if e.kind == "release")
+    assert "ST" in rel.reason, rel
     assert not station.supervisors          # torn down
     # the page command arrived through the socket path
     assert any(e.kind == "debug" and "paging" in str(e.payload)
                for e in station.events)
+
+
+def test_mesh_bs_origination_lifecycle():
+    """Mobile-originated call through the multi-chip application: the
+    scripted mobile originates over the air (RECC through the sharded
+    RX), the station assigns the origination voice channel + emits the
+    reference's 'page <digits>' loopback command, supervision runs in
+    CONVERSATION off the sharded bank, and the mobile's hang-up (ST
+    run) releases the channel."""
+    result: dict = {}
+    from apps import bs_app
+    bs_app.main(["--mesh", "2x2", "--channels", "8", "--platform", "cpu",
+                 "--simulate", "mobile:5551234567:originate:7025551000",
+                 "--voice-slot-map", "355:4,356:5",
+                 "--sup-timers", "3.0:0.8",
+                 "--no-server", "--blocks", "30"], result)
+    station, mob = result["station"], result["mob"]
+    assert "originate 7025551000" in mob.log, mob.log
+    assert "assigned 356" in mob.log, mob.log
+    assert "hang_up" in mob.log, mob.log
+    # the reference's origination loopback command fired
+    assert any(e.kind == "command" and "page 7025551000" in str(e.payload)
+               for e in station.events)
+    sup_events = [e.payload for e in station.events
+                  if e.kind == "supervision_event"]
+    sup_kinds = [e.kind for e in sup_events]
+    assert "release" in sup_kinds, sup_kinds
+    assert set(sup_kinds) <= {"sat_lost", "sat_back", "release"}, sup_kinds
+    rel = next(e for e in sup_events if e.kind == "release")
+    assert "ST" in rel.reason, rel
+    assert not station.supervisors

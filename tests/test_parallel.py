@@ -670,7 +670,8 @@ def test_full_call_over_sharded_rf():
                        "hang_up"], mob.log
 
 
-def test_sharded_supervision_matches_single_device():
+@pytest.mark.parametrize("bf16", [False, True])
+def test_sharded_supervision_matches_single_device(bf16):
     """VERDICT r3 item 2: SAT/ST voice supervision on the SHARDED
     receiver — the sharded step's device-side supervision tap (one-hot
     slot selection + psum, parallel/pipeline.py) must drive the same
@@ -679,7 +680,9 @@ def test_sharded_supervision_matches_single_device():
     conversation (SAT+voice) -> deep fade -> fade-timeout release.
     Without this path a sharded BS can page but cannot hear the mobile
     answer or release (reference analogue: the RVC tap chain,
-    grc/ampsbs_rvc.grc)."""
+    grc/ampsbs_rvc.grc).  bf16=True runs both receivers at the bench
+    dtypes (the sharded demod plane is bf16; tone thresholds must
+    survive the 8-bit mantissa)."""
     import dataclasses
     from amps_tpu.control.supervision import (ALERTING, ChannelSupervisor,
                                               SupervisionConfig)
@@ -689,7 +692,8 @@ def test_sharded_supervision_matches_single_device():
     from amps_tpu.parallel.stream import ShardedReceiver
     from amps_tpu.runtime.streamer import MultichannelReceiver
 
-    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8,
+                            io_bf16=bf16, corr_bf16=bf16)
     M, Phop = 8, 4
     pipe = spec.pipe
     fs = float(pipe.chan_rate)

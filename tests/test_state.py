@@ -269,3 +269,64 @@ def test_sharded_receiver_checkpoint_resume():
         assert np.array_equal(a.words, b.words)
         assert np.array_equal(a.word_ok, b.word_ok)
         assert a.dcc == b.dcc and abs(a.rssi - b.rssi) < 1e-5
+
+
+def test_sharded_supervision_carry_survives_checkpoint():
+    """The sharded receiver's sub-frame supervision leftover is part of
+    the checkpoint: a resumed stream produces the same supervision
+    frame sequence (and therefore the same SAT/ST timers) as an
+    uninterrupted one."""
+    import jax
+    import jax.numpy as jnp
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate
+    from amps_tpu.parallel.mesh import make_mesh, MeshSpec
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedReceiver
+    from amps_tpu.runtime.state import (load_sharded_receiver,
+                                        save_sharded_receiver)
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    Phop, tsize, csize = 4, 2, 2
+    fs = float(spec.pipe.chan_rate)
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / fs
+    nh_row = 11520
+    block_hops = tsize * nh_row
+    nblocks = 3
+    n = nblocks * block_hops
+    SLOT = 5
+    t = np.arange(n) / fs
+    m = 0.05 * np.cos(2 * np.pi * 6000.0 * t)        # SAT only
+    Y = np.zeros((n, 8, 2), np.float32)
+    Y[:, SLOT] = np.asarray(fm_modulate(jnp.asarray(m, jnp.float32),
+                                        sens)[0])
+    x, _ = chz.synthesize(jnp.asarray(Y), spec.chz_spec,
+                          chz.synthesizer_init(spec.chz_spec))
+    x = np.asarray(x)
+    blk = block_hops * Phop
+
+    def run(split):
+        frames = []
+        rx = ShardedReceiver(mesh, spec, supervision_slots=(SLOT,),
+                             on_supervision=lambda s, lv, pw:
+                             frames.append((lv.copy(), pw.copy())))
+        for b in range(nblocks):
+            rx.push(x[b * blk:(b + 1) * blk])
+            if split and b == 0:
+                save_sharded_receiver("/tmp/sharded_sup_ckpt.npz", rx)
+                rx2 = ShardedReceiver(
+                    mesh, spec, supervision_slots=(SLOT,),
+                    on_supervision=lambda s, lv, pw:
+                    frames.append((lv.copy(), pw.copy())))
+                load_sharded_receiver("/tmp/sharded_sup_ckpt.npz", rx2)
+                rx = rx2
+        return frames
+
+    mesh = make_mesh(MeshSpec(time=tsize, chan=csize), jax.devices()[:4])
+    ref = run(split=False)
+    got = run(split=True)
+    assert len(ref) == len(got)
+    for (lv_a, pw_a), (lv_b, pw_b) in zip(ref, got):
+        assert lv_a.shape == lv_b.shape
+        assert np.allclose(lv_a, lv_b, atol=1e-5)
+        assert np.allclose(pw_a, pw_b, atol=1e-5)
