@@ -55,16 +55,30 @@ class BaseStation:
     def __init__(self, system: Optional[SystemConfig] = None,
                  pipe: Optional[PipelineConfig] = None,
                  on_event: Optional[Callable[[StationEvent], None]] = None,
-                 sps: Optional[int] = None):
+                 sps: Optional[int] = None,
+                 per_channel_fvc: bool = False):
         """``sps``: samples per Manchester symbol for the TX streams —
         pipe.sps (5, the 100 ksps single-channel rate) by default;
         multichannel deployments pass pipe.chan_sps (3, the 60 ksps
-        channelizer slot rate)."""
+        channelizer slot rate).
+
+        ``per_channel_fvc``: give every voice channel its OWN FVC
+        stream and mute pair (``fvc_for``/``fvc_mute_for``) so
+        CONCURRENT calls signal independently — alerts, releases and
+        handoff designations ride the target call's forward channel
+        only.  The default keeps the reference's single shared fvc
+        block (one call's signaling at a time; handoff refuses while
+        other calls are active — the documented shared-FVC caveat)."""
         self.system = system or SystemConfig()
         self.pipe = pipe or PipelineConfig()
         sps = sps or self.pipe.sps
+        self._sps = sps
         self.focc = FoccStream(self.system, sps=sps)
         self.fvc = FvcStream(sps=sps, on_command=self.handle_command)
+        self.per_channel_fvc = per_channel_fvc
+        self.fvc_streams: Dict[int, FvcStream] = {}
+        self.fvc_mutes: Dict[int, bool] = {}
+        self.audio_mutes: Dict[int, bool] = {}
         self.audio_mute = False
         self.fvc_mute = True
         self.events: List[StationEvent] = []
@@ -95,12 +109,53 @@ class BaseStation:
         self.focc.push_words(STREAM_BOTH, ws, repeats=repeats)
         self._emit("focc_words", ws)
 
-    def _set_fvc(self, word28, timer: int = 0) -> None:
-        w = np.asarray(word28, dtype=np.uint8)
-        self.fvc.set_words(w, timer=timer)
-        self._emit("fvc_words", (w, timer))
+    def fvc_for(self, chan: Optional[int]) -> FvcStream:
+        """The FVC stream serving voice channel ``chan``: per-channel
+        when ``per_channel_fvc`` (independent concurrent-call
+        signaling), else the single shared stream (reference parity —
+        one fvc block, grc/ampsbs.grc)."""
+        if not self.per_channel_fvc or chan is None:
+            return self.fvc
+        if chan not in self.fvc_streams:
+            self.fvc_streams[chan] = FvcStream(
+                sps=self._sps,
+                on_command=lambda cmd, c=chan: self._fvc_timer_cmd(cmd, c))
+        return self.fvc_streams[chan]
 
-    def _set_mutes(self, fvc_mute: bool, audio_mute: bool) -> None:
+    def _fvc_timer_cmd(self, cmd: str, chan: int) -> None:
+        """Per-channel timerhack: a self-terminating burst's 'fvc off'
+        applies to ITS channel's mute pair only."""
+        if cmd.startswith("fvc off"):
+            self._set_mutes(fvc_mute=True, audio_mute=False, chan=chan)
+        else:
+            self.handle_command(cmd)
+
+    def fvc_mute_for(self, chan: Optional[int]) -> bool:
+        if self.per_channel_fvc and chan is not None:
+            return self.fvc_mutes.get(chan, True)
+        return self.fvc_mute
+
+    def audio_mute_for(self, chan: Optional[int]) -> bool:
+        if self.per_channel_fvc and chan is not None:
+            return self.audio_mutes.get(chan, False)
+        return self.audio_mute
+
+    def _set_fvc(self, word28, timer: int = 0,
+                 chan: Optional[int] = None) -> None:
+        w = np.asarray(word28, dtype=np.uint8)
+        self.fvc_for(chan).set_words(w, timer=timer)
+        self._emit("fvc_words",
+                   (w, timer) if (chan is None or not self.per_channel_fvc)
+                   else (chan, w, timer))
+
+    def _set_mutes(self, fvc_mute: bool, audio_mute: bool,
+                   chan: Optional[int] = None) -> None:
+        if self.per_channel_fvc and chan is not None:
+            self.fvc_mutes[chan] = fvc_mute
+            self.audio_mutes[chan] = audio_mute
+            self._emit("fvc_mute", (chan, fvc_mute))
+            self._emit("audio_mute", (chan, audio_mute))
+            return
         self.fvc_mute = fvc_mute
         self.audio_mute = audio_mute
         self._emit("fvc_mute", fvc_mute)
@@ -155,18 +210,37 @@ class BaseStation:
                 f"got unknown RECC message: ORDER {wb.ORDER:#x} "
                 f"ORDQ {wb.ORDQ:#x} MSG_TYPE {wb.MSG_TYPE:#x}")
 
+    def _assign_voice_channel(self, kind: str) -> Optional[int]:
+        """Voice channel for a new call.  Reference behavior (shared
+        FVC): page responses always get plan[0] = 355, originations
+        plan[1] = 356 (lib/recc_decode_impl.cc:205,252).  In
+        ``per_channel_fvc`` (multi-call) mode: the first FREE channel
+        of the plan, or None when the plan is exhausted."""
+        if self.per_channel_fvc:
+            for c in self._vc_plan:
+                if c not in self.supervisors:
+                    return c
+            return None
+        if kind == "response" or len(self._vc_plan) < 2:
+            return self._vc_plan[0]
+        return self._vc_plan[1]
+
     def _handle_response(self, wa: fields.RxWordA, wb: fields.RxWordB):
         """Page response -> voice assignment + FVC alert
         (lib/recc_decode_impl.cc:195-222)."""
         reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
         self._debug(f"got a response from MIN={reqmin}")
-        chan = self._vc_plan[0]
+        chan = self._assign_voice_channel("response")
+        if chan is None:
+            self._debug("no free voice channel; response dropped\n")
+            return
         word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
         word2 = W.focc_word2_voice_channel(self.system.scc, wb.MIN2, 0, chan)
         self._push_focc(word1, word2)
         alert = W.fvc_word1_general(self.system.scc, 0, 0, 1)
-        self._set_fvc(alert, timer=self.system.fvc_alert_repeats)
-        self._set_mutes(fvc_mute=False, audio_mute=True)
+        self._set_fvc(alert, timer=self.system.fvc_alert_repeats,
+                      chan=chan)
+        self._set_mutes(fvc_mute=False, audio_mute=True, chan=chan)
         self._start_supervision(chan, ALERTING)
 
     def _handle_registration(self, wa, wb, words):
@@ -212,7 +286,10 @@ class BaseStation:
         reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
         self._debug(f"origination: MIN={reqmin} ESN={esn:x} dialed {dialed}")
 
-        chan = self._vc_plan[1] if len(self._vc_plan) > 1 else self._vc_plan[0]
+        chan = self._assign_voice_channel("origination")
+        if chan is None:
+            self._debug("no free voice channel; origination dropped\n")
+            return
         word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
         if dialed and dialed[0] == "0":
             # intercept order instead of voice assignment
@@ -221,8 +298,10 @@ class BaseStation:
             word2 = W.focc_word2_voice_channel(self.system.scc, wb.MIN2, 0,
                                                chan)
         self._push_focc(word1, word2)
-        self._set_mutes(fvc_mute=True, audio_mute=False)
-        if not (dialed and dialed[0] == "0"):
+        intercept = bool(dialed and dialed[0] == "0")
+        self._set_mutes(fvc_mute=True, audio_mute=False,
+                        chan=None if intercept else chan)
+        if not intercept:
             # originating mobile is already off-hook: conversation state
             self._start_supervision(chan, CONVERSATION)
         self._emit("command", f"page {dialed}")
@@ -246,7 +325,12 @@ class BaseStation:
             self.release_call(ev.channel, ev.reason)
         elif ev.kind == "answer":
             self._debug(f"mobile on channel {ev.channel} answered\n")
-            self.handle_command("fvc off")  # voice path up
+            if self.per_channel_fvc:
+                # voice path up on THIS call's channel only
+                self._set_mutes(fvc_mute=True, audio_mute=False,
+                                chan=ev.channel)
+            else:
+                self.handle_command("fvc off")  # voice path up
 
     def push_supervision(self, chan: int, levels, power) -> None:
         """Feed per-frame [SAT0-2, ST] amplitudes + band power for one
@@ -267,18 +351,20 @@ class BaseStation:
         channel, where supervision resumes in the same call state (the
         5 s fade timeout comfortably covers the retune gap).
 
-        The station has ONE shared FVC data stream (like the reference's
-        single fvc block), so the designation would be heard by every
-        mobile on whichever channel carries it: handoff is refused while
-        any OTHER call is active.  Per-voice-channel FVC streams (keyed
-        like MultichannelTransmitter sources) would lift this.
+        With the default shared FVC stream (the reference's single fvc
+        block) the designation would be heard by every mobile on
+        whichever channel carries it, so handoff is refused while any
+        OTHER call is active.  ``per_channel_fvc`` lifts this: the
+        designation rides the OLD channel's own stream (where the
+        mobile is listening) and concurrent calls are untouched.
         """
         if new_chan == old_chan or new_chan in self.supervisors:
             # never clobber another live call's supervisor (it would be
             # silently dropped without a release on its channel)
             self._debug(f"handoff: target channel {new_chan} not free\n")
             return False
-        if any(c != old_chan for c in self.supervisors):
+        if (not self.per_channel_fvc
+                and any(c != old_chan for c in self.supervisors)):
             self._debug("handoff: refused, other calls active and the "
                         "FVC stream is shared\n")
             return False
@@ -290,8 +376,14 @@ class BaseStation:
             return False
         word = W.fvc_word1_voice_channel(self.system.scc, self.system.scc,
                                          vmac, new_chan)
-        self._set_fvc(word, timer=self.system.fvc_alert_repeats)
-        self._set_mutes(fvc_mute=False, audio_mute=True)
+        self._set_fvc(word, timer=self.system.fvc_alert_repeats,
+                      chan=old_chan)
+        self._set_mutes(fvc_mute=False, audio_mute=True, chan=old_chan)
+        if self.per_channel_fvc:
+            # the retuned mobile continues its call on the new channel:
+            # voice path up there from the start
+            self._set_mutes(fvc_mute=True, audio_mute=False,
+                            chan=new_chan)
         self._start_supervision(new_chan, sup.state)
         self._emit("handoff", (old_chan, new_chan))
         self._debug(f"handoff: channel {old_chan} -> {new_chan}\n")
@@ -305,15 +397,16 @@ class BaseStation:
         another call's channel; the supervisor teardown itself is
         always channel-exact."""
         sup = self.supervisors.pop(chan, None)
-        if any(c != chan for c in self.supervisors):
+        if (not self.per_channel_fvc
+                and any(c != chan for c in self.supervisors)):
             self._debug("release: other calls active; shared-FVC order "
                         "may be heard on their channels\n")
         self._debug(f"releasing channel {chan}: {reason}\n")
         rel = W.fvc_word1_general(self.system.scc, 0, 0, RELEASE_ORDER)
         # the FVC timer mechanism self-emits 'fvc off' after the order
         # has repeated (the reference's timerhack, lib/fvc_impl.cc:163)
-        self._set_fvc(rel, timer=self.system.fvc_alert_repeats)
-        self._set_mutes(fvc_mute=False, audio_mute=True)
+        self._set_fvc(rel, timer=self.system.fvc_alert_repeats, chan=chan)
+        self._set_mutes(fvc_mute=False, audio_mute=True, chan=chan)
         self._emit("release", (chan, reason))
 
     # -- operator commands (lib/command_processor_impl.cc:84-117) ----------

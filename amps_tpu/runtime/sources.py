@@ -31,11 +31,18 @@ class VoiceFvcSlot:
     def __init__(self, station: BaseStation,
                  audio_source: Optional[Callable[[int], np.ndarray]] = None,
                  system: Optional[SystemConfig] = None,
-                 pipe: Optional[PipelineConfig] = None):
+                 pipe: Optional[PipelineConfig] = None,
+                 chan: Optional[int] = None):
+        """``chan``: the AMPS voice channel this slot carries.  With a
+        ``per_channel_fvc`` station, the slot reads THAT channel's FVC
+        stream and mute pair (independent concurrent-call signaling);
+        otherwise it follows the station's shared stream/global mutes
+        (the reference's single mute pair)."""
         self.station = station
         self.system = system or station.system
         self.pipe = pipe or station.pipe
         self.audio_source = audio_source
+        self.chan = chan
         self._sens = (2.0 * np.pi * self.pipe.deviation_hz
                       / self.pipe.chan_rate)
         self._fvc_accum = 0
@@ -44,9 +51,9 @@ class VoiceFvcSlot:
 
     def __call__(self, n_hops: int) -> np.ndarray:
         """(n_hops, 2) riq baseband at chan_rate for the next block."""
-        if not self.station.fvc_mute:
+        if not self.station.fvc_mute_for(self.chan):
             # FVC data active (blank-and-burst)
-            syms = self.station.fvc.next_block(n_hops)
+            syms = self.station.fvc_for(self.chan).next_block(n_hops)
             iq, accum = fm_modulate_symbols(
                 syms.astype(np.int8), self._sens, self._fvc_accum)
             self._fvc_accum = int(np.asarray(accum))
@@ -55,7 +62,8 @@ class VoiceFvcSlot:
         # voice (+SAT) active
         n_audio = int(round(n_hops * self.pipe.audio_rate
                             / self.pipe.chan_rate))
-        if self.audio_source is not None and not self.station.audio_mute:
+        if (self.audio_source is not None
+                and not self.station.audio_mute_for(self.chan)):
             audio = np.asarray(self.audio_source(n_audio), np.float32)
         else:
             audio = np.zeros(n_audio, np.float32)

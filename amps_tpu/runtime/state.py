@@ -151,6 +151,20 @@ def save_station(path: str, bs) -> None:
         payload[f"sup_{c}"] = np.asarray(
             [_SUP_STATES.index(s.state), s.t, s._sat_loss_t, s._st_run_t,
              s._alert_t, float(s._st_seen_in_alert)], np.float64)
+    # per-channel FVC streams + mute pairs (per_channel_fvc stations)
+    fchans = sorted(getattr(bs, "fvc_streams", {}))
+    payload["fvc_channels"] = np.asarray(fchans, np.int64)
+    for c in fchans:
+        st = bs.fvc_streams[c]
+        with st._lock:
+            burst = st._burst
+            payload[f"fvcch_{c}"] = (np.asarray(burst, np.int8)
+                                     if burst is not None
+                                     else np.zeros(0, np.int8))
+            payload[f"fvcch_meta_{c}"] = np.asarray(
+                [int(burst is not None), st._timer, st._off,
+                 int(bs.fvc_mutes.get(c, True)),
+                 int(bs.audio_mutes.get(c, False))], np.int64)
     np.savez(path, **payload)
 
 
@@ -177,6 +191,18 @@ def load_station(path: str, bs) -> None:
                          else None)
         bs.fvc._timer = int(z["fvc_timer"])
         bs.fvc._off = int(z["fvc_off"])
+    if "fvc_channels" in z and getattr(bs, "per_channel_fvc", False):
+        for c in z["fvc_channels"]:
+            c = int(c)
+            has, timer, off, fmute, amute = (int(v)
+                                             for v in z[f"fvcch_meta_{c}"])
+            st = bs.fvc_for(c)
+            with st._lock:
+                st._burst = z[f"fvcch_{c}"].copy() if has else None
+                st._timer = timer
+                st._off = off
+            bs.fvc_mutes[c] = bool(fmute)
+            bs.audio_mutes[c] = bool(amute)
     bs.supervisors.clear()
     for c in z["sup_channels"]:
         c = int(c)

@@ -119,7 +119,12 @@ def _run_mesh(args, result: dict | None = None):
         aggressive_registration=args.aggressive_registration)
     spec = MultichannelSpec(num_channels=args.channels)
     M, Phop, SPS = args.channels, args.channels // 2, spec.chan_sps
-    station = BaseStation(system, sps=SPS)
+    # with mapped voice slots the station runs per-channel FVC streams:
+    # alerts/releases/designations ride each call's own forward voice
+    # channel (the reference's mute-pair arrangement, scaled to
+    # concurrent calls)
+    per_chan = bool(args.voice_slot_map)
+    station = BaseStation(system, sps=SPS, per_channel_fvc=per_chan)
     if args.sup_timers:
         fade_s, st_s = (float(v) for v in args.sup_timers.split(":"))
         station.supervision_config = dataclasses.replace(
@@ -148,9 +153,17 @@ def _run_mesh(args, result: dict | None = None):
         supervision_slots=sup_slots,
         on_supervision=on_sup if slot_map else None)
     station.focc = trx.focc[args.control_slot]
+    # every mapped voice slot carries the blank-and-burst voice channel
+    # (FVC data / voice+SAT per ITS OWN mute pair); an explicit
+    # --fvc-slot additionally provides the legacy shared-stream slot
+    for bank_slot, amps_chan in slot_map.items():
+        trx.set_channel_source(
+            bank_slot, VoiceFvcSlot(station,
+                                    chan=amps_chan if per_chan else None))
     fvc_slot = (args.fvc_slot if args.fvc_slot is not None
                 else args.control_slot + 1)
-    trx.set_channel_source(fvc_slot, VoiceFvcSlot(station))
+    if fvc_slot not in slot_map:
+        trx.set_channel_source(fvc_slot, VoiceFvcSlot(station))
 
     # reverse-band block geometry: each time row's demod span (block
     # hops / T) must cover the carried halo (trx.ovr demod samples)
@@ -158,17 +171,20 @@ def _run_mesh(args, result: dict | None = None):
     rxh = T * r
     sens = 2.0 * np.pi * spec.pipe.deviation_hz / spec.pipe.chan_rate
 
-    # optional scripted mobile on the reverse band:
+    # optional scripted mobiles on the reverse band (repeatable):
     #   mobile:<MIN>                      — answers a page, then hangs up
-    #   mobile:<MIN>:originate:<digits>   — originates the call itself
-    mob = None
-    mob_action = None
+    #   mobile:<MIN>:originate:<digits>[:<block>[:<hangup_after>]]
+    #                                     — originates at <block>
+    mobs = []        # list of dicts: mob, action, sched
     for ev in args.simulate:
         parts = ev.split(":")
         if parts[0] == "mobile":
-            mob = SimMobile(parts[1], sps=SPS, system=system)
-            if len(parts) > 2:
-                mob_action = tuple(parts[2:])
+            mobs.append({
+                "mob": SimMobile(parts[1], sps=SPS, system=system),
+                "action": tuple(parts[2:]) if len(parts) > 2 else None,
+                "sched": {"ring": 0, "conv": 0},
+            })
+    mob = mobs[0]["mob"] if mobs else None     # primary, for reporting
     REVERSE_SLOT = 3
     ana_state = {"s": chz.analyzer_init(spec.chz_spec)}
     # the reverse-band "ether" is a CONTINUOUS stream: its synthesis
@@ -178,47 +194,63 @@ def _run_mesh(args, result: dict | None = None):
     # run read as four flash-length pieces and the release mis-fired
     # via the fade timeout)
     rev_state = {"s": chz.synthesizer_init(spec.chz_spec)}
-    sched = {"ring": 0, "conv": 0, "block": 0}
+    sched = {"block": 0}
 
     def one_block():
         """One full-duplex sharded block: reverse band in, TX out, the
-        mobile's ears fed from the TX wideband."""
+        mobiles' ears fed from the TX wideband."""
         Y = np.zeros((rxh, M, 2), np.float32)
-        if mob is not None:
-            if mob.outbox:
-                _, syms = mob.outbox.pop(0)
+        cursor = 2000
+        for rec in mobs:
+            m = rec["mob"]
+            # stagger concurrent accesses on the shared RECC; a burst
+            # that doesn't fit this block waits for the next one
+            if m.outbox and cursor + len(m.outbox[0][1]) <= rxh:
+                _, syms = m.outbox.pop(0)
                 bb = np.asarray(fm_modulate_symbols(
                     syms.astype(np.int8), sens)[0])
-                Y[2000: 2000 + len(bb), REVERSE_SLOT] = bb
-            if mob.voice_chan in chan_to_slot:
-                Y[:, chan_to_slot[mob.voice_chan]] += \
-                    mob.rvc_baseband(rxh, float(spec.pipe.chan_rate), sens)
+                Y[cursor: cursor + len(bb), REVERSE_SLOT] = bb
+                cursor += len(bb) + 2000
+            if m.voice_chan in chan_to_slot:
+                Y[:, chan_to_slot[m.voice_chan]] += \
+                    m.rvc_baseband(rxh, float(spec.pipe.chan_rate), sens)
         x_rx, rev_state["s"] = chz.synthesize(Y, spec.chz_spec,
                                               rev_state["s"])
         tx, _reports = trx.push(np.asarray(x_rx))
-        if mob is not None:
+        if mobs:
             ya, ana_state["s"] = chz.analyze(tx, spec.chz_spec,
                                              ana_state["s"])
             ya = np.asarray(ya)
-            mob.hear_focc(np.asarray(
-                quadrature_demod(ya[:, args.control_slot])[0]), sps=SPS)
-            mob.hear_fvc(np.asarray(
-                quadrature_demod(ya[:, fvc_slot])[0]), sps=SPS)
-            # scripted user: originate once the FOCC has been heard (if
-            # asked), answer one block after ringing starts, hang up
-            # after three conversation blocks
+            focc_demod = np.asarray(
+                quadrature_demod(ya[:, args.control_slot])[0])
             sched["block"] += 1
-            if (mob_action and mob_action[0] == "originate"
-                    and sched["block"] == 2 and mob.state == "idle"):
-                mob.originate(mob_action[1])
-            if mob.state == "ringing":
-                sched["ring"] += 1
-                if sched["ring"] >= 2:
-                    mob.answer()
-            elif mob.state == "conversation":
-                sched["conv"] += 1
-                if sched["conv"] >= 4:
-                    mob.hang_up()
+            for rec in mobs:
+                m, action, ms = rec["mob"], rec["action"], rec["sched"]
+                m.hear_focc(focc_demod, sps=SPS)
+                # FVC data arrives on the mobile's ASSIGNED voice
+                # channel (per-channel mode) or the legacy shared slot
+                fvc_bank = chan_to_slot.get(m.voice_chan, fvc_slot) \
+                    if per_chan else fvc_slot
+                m.hear_fvc(np.asarray(
+                    quadrature_demod(ya[:, fvc_bank])[0]), sps=SPS)
+                # scripted user: originate at its block (default 2),
+                # answer one block after ringing, hang up after
+                # hangup_after (default 3) conversation blocks
+                if (action and action[0] == "originate"
+                        and m.state == "idle"
+                        and sched["block"] ==
+                        (int(action[2]) if len(action) > 2 else 2)):
+                    m.originate(action[1])
+                hang_after = (int(action[3])
+                              if action and len(action) > 3 else 3)
+                if m.state == "ringing":
+                    ms["ring"] += 1
+                    if ms["ring"] >= 2:
+                        m.answer()
+                elif m.state == "conversation":
+                    ms["conv"] += 1
+                    if ms["conv"] > hang_after:
+                        m.hang_up()
         return len(np.asarray(tx))
 
     async def run():
@@ -239,9 +271,9 @@ def _run_mesh(args, result: dict | None = None):
                   f"calls={sorted(station.supervisors)}"
                   + (f" mob={mob.state}" if mob else ""))
             had_call = had_call or bool(station.supervisors)
-            if (mob is not None and had_call and not station.supervisors
-                    and mob.state == "released"):
-                print("[bs] call complete and torn down")
+            if (mobs and had_call and not station.supervisors
+                    and all(r["mob"].state == "released" for r in mobs)):
+                print("[bs] call(s) complete and torn down")
                 break
         if server:
             await server.stop()
@@ -251,10 +283,11 @@ def _run_mesh(args, result: dict | None = None):
                  else e.payload) for e in station.events
                 if e.kind in ("supervision_event", "release", "handoff")]
     print(f"[bs] station events: {timeline}")
-    if mob is not None:
-        print(f"[bs] mobile log: {mob.log}")
+    for rec in mobs:
+        print(f"[bs] mobile {rec['mob'].min_str} log: {rec['mob'].log}")
     if result is not None:
-        result.update(station=station, mob=mob, timeline=timeline)
+        result.update(station=station, mob=mob,
+                      mobs=[r["mob"] for r in mobs], timeline=timeline)
 
 
 def main(argv=None, _result: dict | None = None):

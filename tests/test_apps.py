@@ -111,7 +111,10 @@ def test_mesh_bs_origination_lifecycle():
                  "--no-server", "--blocks", "30"], result)
     station, mob = result["station"], result["mob"]
     assert "originate 7025551000" in mob.log, mob.log
-    assert "assigned 356" in mob.log, mob.log
+    # per-channel FVC mode (mapped voice slots): the station assigns
+    # the first FREE channel of the plan (355) instead of the
+    # reference's hardcoded origination channel 356
+    assert "assigned 355" in mob.log, mob.log
     assert "hang_up" in mob.log, mob.log
     # the reference's origination loopback command fired
     assert any(e.kind == "command" and "page 7025551000" in str(e.payload)
@@ -123,4 +126,40 @@ def test_mesh_bs_origination_lifecycle():
     assert set(sup_kinds) <= {"sat_lost", "sat_back", "release"}, sup_kinds
     rel = next(e for e in sup_events if e.kind == "release")
     assert "ST" in rel.reason, rel
+    assert not station.supervisors
+
+
+def test_mesh_bs_two_concurrent_calls():
+    """Two CONCURRENT calls through the multi-chip application with
+    per-channel FVC streams: mobile A originates first (gets the first
+    free voice channel, 355), mobile B originates while A's call is
+    live (gets 356), both are supervised simultaneously off the sharded
+    bank, and each hang-up releases ITS channel only — the shared-FVC
+    single-call limitation is gone."""
+    result: dict = {}
+    from apps import bs_app
+    bs_app.main(["--mesh", "2x2", "--channels", "8", "--platform", "cpu",
+                 "--simulate", "mobile:5551234567:originate:7025551000:2:3",
+                 "--simulate", "mobile:4155559876:originate:7025552000:5:6",
+                 "--voice-slot-map", "355:4,356:5",
+                 "--sup-timers", "3.0:0.8",
+                 "--no-server", "--blocks", "40"], result)
+    station = result["station"]
+    ma, mb = result["mobs"]
+    assert "assigned 355" in ma.log, ma.log
+    # B originated while A's call held 355 -> B got 356: CONCURRENT
+    assert "assigned 356" in mb.log, mb.log
+    assert "hang_up" in ma.log and "hang_up" in mb.log
+    # two independent ST releases, one per channel, in hang-up order
+    rels = [e.payload for e in station.events
+            if e.kind == "supervision_event" and e.payload.kind == "release"]
+    assert len(rels) == 2, [(r.channel, r.reason) for r in rels]
+    assert {r.channel for r in rels} == {355, 356}
+    assert all("ST" in r.reason for r in rels), \
+        [(r.channel, r.reason) for r in rels]
+    assert rels[0].channel == 355 and rels[1].channel == 356
+    # zero unexpected supervision events
+    kinds = [e.payload.kind for e in station.events
+             if e.kind == "supervision_event"]
+    assert set(kinds) <= {"sat_lost", "sat_back", "release"}, kinds
     assert not station.supervisors

@@ -271,3 +271,100 @@ def test_noise_burst_gate():
     clean_bad = np.zeros(8, np.int32)
     bs.handle_burst(arr, ok, bad_symbols=clean_bad)
     assert 355 in bs.supervisors                 # dispatched
+
+
+def test_per_channel_fvc_concurrent_calls():
+    """per_channel_fvc: every voice channel has its OWN FVC stream and
+    mute pair, so CONCURRENT calls signal independently — the shared-
+    FVC limitations (handoff refusal while other calls are active,
+    release orders audible on other calls' channels) are lifted, and
+    voice-channel assignment picks a free channel instead of the
+    reference's hardcoded 355/356."""
+    from amps_tpu.config import SystemConfig
+    from amps_tpu.ms.fvc_rx import decode_fvc_words
+
+    sys_cfg = SystemConfig(voice_channels=(355, 356, 357))
+    st = BaseStation(sys_cfg, per_channel_fvc=True)
+
+    # call 1: page response -> first free channel (355), alert rides
+    # 355's own stream
+    words, ok = _decoded(recc_ms.page_response_words("5551234567"))
+    st.handle_burst(words, ok)
+    assert 355 in st.supervisors
+    assert st.fvc_mute_for(355) is False        # alert active on 355
+    syms = st.fvc_for(355).next_block(4000 * st._sps)
+    dec = decode_fvc_words(syms, st._sps)
+    assert dec, "alert burst must decode from 355's stream"
+
+    # call 2 while call 1 is alerting: next free channel (356)
+    words2, ok2 = _decoded(recc_ms.origination_words(
+        "4155559876", "7025551000"))
+    st.handle_burst(words2, ok2)
+    assert 356 in st.supervisors and 355 in st.supervisors
+    # origination goes straight to conversation: 356 carries audio,
+    # while 355 still carries its alert data — INDEPENDENT mute pairs
+    assert st.fvc_mute_for(356) is True and st.audio_mute_for(356) is False
+    assert st.fvc_mute_for(355) is False and st.audio_mute_for(355) is True
+
+    # handoff of call 2 while call 1 is active: allowed (per-channel
+    # streams), designation rides 356's OWN stream
+    assert st.handoff(356, 357) is True
+    assert 357 in st.supervisors and 355 in st.supervisors
+    d356 = st.fvc_for(356).next_block(4000 * st._sps)
+    assert decode_fvc_words(d356, st._sps), "designation on 356's stream"
+    # 355's stream still carries the ALERT, not the designation
+    a355 = st.fvc_for(355).next_block(4000 * st._sps)
+    w355 = decode_fvc_words(a355, st._sps)
+    assert w355 and fields.FvcVoiceChannel.parse(w355[0]).is_order
+
+    # release call 1: order rides 355 only; call 2 (now 357) untouched
+    st.release_call(355, "test")
+    assert 355 not in st.supervisors and 357 in st.supervisors
+    r355 = st.fvc_for(355).next_block(4000 * st._sps)
+    assert decode_fvc_words(r355, st._sps), "release order on 355"
+    assert st.fvc_mute_for(357) is True        # conversation continues
+
+    # plan exhaustion: a third new call finds no free channel
+    st.supervisors[355] = st.supervisors[357]   # occupy all three
+    st.supervisors[356] = st.supervisors[357]
+    words3, ok3 = _decoded(recc_ms.page_response_words("9165554321"))
+    n_focc = len(_events(st, "focc_words"))
+    st.handle_burst(words3, ok3)
+    assert len(_events(st, "focc_words")) == n_focc   # dropped, no assign
+
+
+def test_per_channel_fvc_slots_carry_independent_bursts():
+    """RF level: two VoiceFvcSlot sources bound to different voice
+    channels emit DIFFERENT FVC bursts simultaneously (the shared-FVC
+    station would put one burst on both)."""
+    from amps_tpu.config import SystemConfig
+    from amps_tpu.ms.fvc_rx import decode_fvc_words
+    from amps_tpu.runtime.sources import VoiceFvcSlot
+    from amps_tpu.codec import words as W
+    from amps_tpu.dsp.fm import quadrature_demod
+
+    sys_cfg = SystemConfig(voice_channels=(355, 356))
+    st = BaseStation(sys_cfg, sps=3, per_channel_fvc=True)
+    alert = W.fvc_word1_general(sys_cfg.scc, 0, 0, 1)
+    release = W.fvc_word1_general(sys_cfg.scc, 0, 0, 3)
+    st._set_fvc(alert, timer=5, chan=355)
+    st._set_mutes(fvc_mute=False, audio_mute=True, chan=355)
+    st._set_fvc(release, timer=5, chan=356)
+    st._set_mutes(fvc_mute=False, audio_mute=True, chan=356)
+
+    s355 = VoiceFvcSlot(st, chan=355)
+    s356 = VoiceFvcSlot(st, chan=356)
+    n = 4000 * 3
+    got = {}
+    for chan, slot in ((355, s355), (356, s356)):
+        bb = slot(n)                       # FM baseband
+        # drop the discriminator's seed sample; the FVC decoder's own
+        # dotting alignment handles symbol timing at sps
+        demod = np.asarray(quadrature_demod(bb)[0])[1:]
+        hard = np.where(demod >= 0, 1, -1).astype(np.int8)
+        ws = decode_fvc_words(hard, 3)
+        assert ws, chan
+        got[chan] = np.asarray(ws[0])
+    order = lambda w: int("".join(str(int(b)) for b in w[23:28]), 2)
+    assert order(got[355]) == 1            # alert
+    assert order(got[356]) == 3            # release
