@@ -286,19 +286,24 @@ class BaseStation:
         reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
         self._debug(f"origination: MIN={reqmin} ESN={esn:x} dialed {dialed}")
 
-        chan = self._assign_voice_channel("origination")
-        if chan is None:
-            self._debug("no free voice channel; origination dropped\n")
-            return
+        intercept = bool(dialed and dialed[0] == "0")
+        chan = None
+        if not intercept:
+            # an intercept order needs no voice channel, so plan
+            # exhaustion must not block it (the reference always
+            # delivers the intercept)
+            chan = self._assign_voice_channel("origination")
+            if chan is None:
+                self._debug("no free voice channel; origination dropped\n")
+                return
         word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
-        if dialed and dialed[0] == "0":
+        if intercept:
             # intercept order instead of voice assignment
             word2 = W.focc_word2_general(wb.MIN2, 0, 0, 9)
         else:
             word2 = W.focc_word2_voice_channel(self.system.scc, wb.MIN2, 0,
                                                chan)
         self._push_focc(word1, word2)
-        intercept = bool(dialed and dialed[0] == "0")
         self._set_mutes(fvc_mute=True, audio_mute=False,
                         chan=None if intercept else chan)
         if not intercept:

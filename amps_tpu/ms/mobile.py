@@ -198,8 +198,13 @@ class SimMobile:
         on = self.state in (RINGING, CONVERSATION)
         st_n = 0
         if self._st_release_frames > 0:
-            st_n = min(n, int(self._st_release_frames * FRAME_S * fs))
-            self._st_release_frames -= int(np.ceil(st_n / (FRAME_S * fs)))
+            # exact accounting: decrement by the frames actually SENT
+            # (a ceil here shorted the 1.9 s run by up to one frame per
+            # block — enough to miss the 1.8 s release threshold at
+            # small block sizes and fall back to a fade release)
+            st_n = min(n, int(round(self._st_release_frames
+                                    * FRAME_S * fs)))
+            self._st_release_frames -= st_n / (FRAME_S * fs)
         elif self.state == RINGING:
             st_n = n
         if not on and st_n == 0:

@@ -39,9 +39,13 @@ def build_parser():
     p.add_argument("--rx-in", type=str, default=None,
                    help="read wideband RX IQ (raw float32 interleaved)")
     p.add_argument("--simulate", type=str, action="append", default=[],
-                   help="mobile event: origination:MIN:DIALED | "
-                        "page_response:MIN | registration:MIN[:ESN] "
-                        "(slot 3 of the reverse band)")
+                   help="single-device mode — one-shot mobile event: "
+                        "origination:MIN:DIALED | page_response:MIN | "
+                        "registration:MIN[:ESN] (slot 3 of the reverse "
+                        "band).  Mesh mode — a LIVE scripted mobile: "
+                        "mobile:MIN (answers a page, hangs up) | "
+                        "mobile:MIN:originate:DIGITS[:BLOCK[:HANGUP_"
+                        "AFTER]]; repeat for concurrent calls")
     p.add_argument("--port", type=int, default=64652,
                    help="TCP command port (reference Socket PDU port)")
     p.add_argument("--voice-slot-map", type=str, default="",
@@ -184,6 +188,11 @@ def _run_mesh(args, result: dict | None = None):
                 "action": tuple(parts[2:]) if len(parts) > 2 else None,
                 "sched": {"ring": 0, "conv": 0},
             })
+        else:
+            # the one-shot event kinds are single-device-mode only
+            print(f"[bs] mesh mode ignores --simulate {ev!r}: use "
+                  f"'mobile:MIN[:originate:DIGITS[:BLOCK[:N]]]' "
+                  f"(live scripted mobile)", file=sys.stderr)
     mob = mobs[0]["mob"] if mobs else None     # primary, for reporting
     REVERSE_SLOT = 3
     ana_state = {"s": chz.analyzer_init(spec.chz_spec)}

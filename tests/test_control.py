@@ -368,3 +368,28 @@ def test_per_channel_fvc_slots_carry_independent_bursts():
     order = lambda w: int("".join(str(int(b)) for b in w[23:28]), 2)
     assert order(got[355]) == 1            # alert
     assert order(got[356]) == 3            # release
+
+
+def test_intercept_origination_survives_exhausted_plan():
+    """Review finding (r4): an intercept origination (leading '0')
+    needs NO voice channel, so per-channel-FVC plan exhaustion must not
+    drop it — the reference always delivers the intercept order."""
+    from amps_tpu.config import SystemConfig
+
+    st = BaseStation(SystemConfig(voice_channels=(355,)),
+                     per_channel_fvc=True)
+    # occupy the whole plan
+    words, ok = _decoded(recc_ms.page_response_words("5551234567"))
+    st.handle_burst(words, ok)
+    assert 355 in st.supervisors
+    n_focc = len(_events(st, "focc_words"))
+    words2, ok2 = _decoded(recc_ms.origination_words(
+        "4155559876", "0123456789"))
+    st.handle_burst(words2, ok2)
+    focc = _events(st, "focc_words")
+    # intercept order + the unconditional 'page <digits>' loopback
+    # (the reference emits both, lib/recc_decode_impl.cc:255-269)
+    assert len(focc) == n_focc + 2, len(focc)
+    w2 = focc[-2][1]
+    order = int("".join(str(int(b)) for b in np.asarray(w2)[23:28]), 2)
+    assert order == 9, order                  # intercept order

@@ -249,3 +249,30 @@ def test_fvc_decode_survives_missing_sync_hit():
     got = decode_fvc_words(blk, sps=1, min_repeats=5)
     assert len(got) == 1, [g.tolist() for g in got]
     assert np.array_equal(got[0], word)
+
+
+def test_rvc_release_st_duration_exact_at_small_blocks():
+    """Review finding (r4): rvc_baseband must transmit the FULL 1.9 s
+    release-ST run regardless of block size — the old ceil-based frame
+    accounting lost up to one 10 ms frame per block, shorting the run
+    below the 1.8 s release threshold at small blocks (the station
+    then mis-released via the fade timeout)."""
+    import numpy as np
+    from amps_tpu.ms.mobile import SimMobile, CONVERSATION
+
+    fs, sens = 60_000.0, 0.8
+    mob = SimMobile("5551234567", sps=3)
+    mob.sat_scc = 1
+    mob.voice_chan = 355
+    mob.state = CONVERSATION
+    mob.hang_up()
+    carrier = 0
+    for _ in range(200):                      # 200 x 1024 = 3.4 s
+        out = mob.rvc_baseband(1024, fs, sens)
+        n_on = int((np.abs(out).max(axis=1) > 0).sum())
+        carrier += n_on
+        if n_on == 0:
+            break
+    # >= 1.8 s of carrier+ST actually transmitted (1.9 s nominal)
+    assert carrier >= int(1.85 * fs), carrier / fs
+    assert carrier <= int(1.95 * fs), carrier / fs
