@@ -337,7 +337,13 @@ def main(argv=None, _result: dict | None = None):
     system = SystemConfig(
         aggressive_registration=args.aggressive_registration)
     spec = MultichannelSpec(num_channels=args.channels)
-    station = BaseStation(system)
+    # mapped voice slots get per-channel FVC streams + blank-and-burst
+    # sources, exactly like mesh mode (independent concurrent-call
+    # signaling); without a map the station keeps the reference's
+    # single shared fvc block
+    per_chan = bool(args.voice_slot_map)
+    station = BaseStation(system, sps=spec.chan_sps,
+                          per_channel_fvc=per_chan)
     tx = MultichannelTransmitter(spec, system,
                                  control_channels=[args.control_slot])
     station.focc = tx.focc[args.control_slot]
@@ -351,6 +357,10 @@ def main(argv=None, _result: dict | None = None):
     for pair in filter(None, args.voice_slot_map.split(",")):
         chan_s, slot_s = pair.split(":")
         slot_map[int(slot_s)] = int(chan_s)
+    from amps_tpu.runtime.sources import VoiceFvcSlot
+    for bank_slot, amps_chan in slot_map.items():
+        tx.set_channel_source(
+            bank_slot, VoiceFvcSlot(station, chan=amps_chan))
 
     def on_supervision(slot, levels, power):
         station.push_supervision(slot_map[slot], levels, power)
