@@ -77,13 +77,27 @@ class ResilientReceiver:
 
     def _recover_and_replay_raw(self) -> List[BurstReport]:
         """Fresh receiver + snapshot restore + ring replay (raw reports;
-        dedup happens at delivery)."""
+        dedup happens at delivery).
+
+        Supervision callbacks are suppressed for every replayed block
+        except the last (the block whose original push failed): earlier
+        blocks' supervision frames were already delivered before the
+        failure, and re-delivering them would advance SAT/ST timers
+        twice — burst reports have positional dedup, supervision frames
+        do not."""
         self.recoveries += 1
         self.rx = self._make()
         restore_receiver(self._snap, self.rx)
         raw: List[BurstReport] = []
-        for blk in self._ring:
+        saved_cb = getattr(self.rx, "on_supervision", None)
+        for i, blk in enumerate(self._ring):
+            if saved_cb is not None:
+                self.rx.on_supervision = (saved_cb
+                                          if i == len(self._ring) - 1
+                                          else None)
             raw += self.rx.push(blk)
+        if saved_cb is not None:
+            self.rx.on_supervision = saved_cb
         return raw
 
     # -- public API ------------------------------------------------------------

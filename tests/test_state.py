@@ -330,3 +330,66 @@ def test_sharded_supervision_carry_survives_checkpoint():
         assert lv_a.shape == lv_b.shape
         assert np.allclose(lv_a, lv_b, atol=1e-5)
         assert np.allclose(pw_a, pw_b, atol=1e-5)
+
+
+def test_resilient_receiver_supervision_exactly_once():
+    """Review finding (r4): recovery replay must not re-deliver
+    supervision frames of already-delivered blocks — burst reports have
+    positional dedup, supervision frames do not, and a double delivery
+    advances SAT/ST timers twice.  A failing run must deliver exactly
+    the uninterrupted run's frame count (and the same levels)."""
+    import jax.numpy as jnp
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate
+    from amps_tpu.runtime.resilient import ResilientReceiver
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = SPEC
+    M = spec.num_channels
+    P = spec.chz_spec.hop
+    fs = float(spec.pipe.chan_rate)
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / fs
+    n = 8 * 4096
+    t = np.arange(n) / fs
+    m = 0.05 * np.cos(2 * np.pi * 6000.0 * t)
+    Y = np.zeros((n, M, 2), np.float32)
+    Y[:, 5] = np.asarray(fm_modulate(jnp.asarray(m, jnp.float32), sens)[0])
+    x, _ = chz.synthesize(jnp.asarray(Y), spec.chz_spec,
+                          chz.synthesizer_init(spec.chz_spec))
+    x = np.asarray(x)
+    blk = 4096 * P
+    blocks = [x[i:i + blk] for i in range(0, n * P, blk)]
+
+    def run(flaky):
+        frames = []
+
+        def make():
+            return MultichannelReceiver(
+                spec, threshold=0.5, supervision_slots=(5,),
+                on_supervision=lambda s, lv, pw:
+                frames.append((np.asarray(lv), np.asarray(pw))))
+
+        res = ResilientReceiver(make, checkpoint_blocks=3)
+        calls = {"n": 0}
+        orig = MultichannelReceiver.push
+
+        def flaky_push(self, b):
+            calls["n"] += 1
+            if flaky and calls["n"] == 5:
+                raise RuntimeError("injected device loss")
+            return orig(self, b)
+
+        MultichannelReceiver.push = flaky_push
+        try:
+            for b in blocks:
+                res.push(b)
+        finally:
+            MultichannelReceiver.push = orig
+        return frames
+
+    ref = run(flaky=False)
+    got = run(flaky=True)
+    assert len(got) == len(ref), (len(got), len(ref))
+    for (lv_a, pw_a), (lv_b, pw_b) in zip(ref, got):
+        assert np.allclose(lv_a, lv_b, atol=1e-5)
+        assert np.allclose(pw_a, pw_b, atol=1e-5)
