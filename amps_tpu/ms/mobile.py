@@ -205,6 +205,12 @@ class SimMobile:
             st_n = min(n, int(round(self._st_release_frames
                                     * FRAME_S * fs)))
             self._st_release_frames -= st_n / (FRAME_S * fs)
+            if self._st_release_frames * FRAME_S * fs < 0.5:
+                # clamp the float residue: a stuck positive epsilon
+                # would keep this branch shadowing the RINGING branch
+                # forever and leak one phantom frame to
+                # supervision_frames (r4 review finding)
+                self._st_release_frames = 0
         elif self.state == RINGING:
             st_n = n
         if not on and st_n == 0:

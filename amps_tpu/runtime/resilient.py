@@ -90,14 +90,19 @@ class ResilientReceiver:
         restore_receiver(self._snap, self.rx)
         raw: List[BurstReport] = []
         saved_cb = getattr(self.rx, "on_supervision", None)
-        for i, blk in enumerate(self._ring):
+        try:
+            for i, blk in enumerate(self._ring):
+                if saved_cb is not None:
+                    self.rx.on_supervision = (saved_cb
+                                              if i == len(self._ring) - 1
+                                              else None)
+                raw += self.rx.push(blk)
+        finally:
+            # a failed replay must not leave the rebuilt receiver with
+            # its supervision callback suppressed (the caller may catch
+            # and keep pushing)
             if saved_cb is not None:
-                self.rx.on_supervision = (saved_cb
-                                          if i == len(self._ring) - 1
-                                          else None)
-            raw += self.rx.push(blk)
-        if saved_cb is not None:
-            self.rx.on_supervision = saved_cb
+                self.rx.on_supervision = saved_cb
         return raw
 
     # -- public API ------------------------------------------------------------

@@ -441,6 +441,17 @@ class MultichannelReceiver:
         return out
 
     def _drain_one(self, e: dict) -> List[BurstReport]:
+        # the batched report fetch runs FIRST: it is where a device
+        # failure materializes (a wedged chip surfaces at array fetch,
+        # CLAUDE.md), and ResilientReceiver's replay assumes a failed
+        # block delivered NO supervision frames — delivering them
+        # before a fetch that then raises would double-deliver on
+        # replay (r4 review finding)
+        (starts, valid, quality, words, ok, bad, dccs, rssi_pb) = \
+            jax.device_get((e["starts"], e["valid"], e["quality"],
+                            e["dec"].words, e["dec"].word_ok,
+                            e["dec"].bad_symbols,
+                            e["dec"].dcc_bits, e["rssi"]))
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
         if self.supervision_slots and e["demod"] is not None:
@@ -466,16 +477,10 @@ class MultichannelReceiver:
                 if self.on_supervision:
                     for i, slot in enumerate(self.supervision_slots):
                         self.on_supervision(slot, lv[i], pw[i])
-        dec = e["dec"]
-        # ONE batched host fetch for the whole drain: sequential
-        # np.asarray calls cost one device round trip EACH (~8 RTTs per
-        # block — measured 285 ms/block on this tunnel vs ~35 with the
-        # batched get, tools/stream_rate_tpu.out); on local links it
-        # still collapses 8 syncs into 1
-        (starts, valid, quality, words, ok, bad, dccs, rssi_pb) = \
-            jax.device_get((e["starts"], e["valid"], e["quality"],
-                            dec.words, dec.word_ok, dec.bad_symbols,
-                            dec.dcc_bits, e["rssi"]))
+        # (reports were fetched above in ONE batched device_get:
+        # sequential np.asarray calls cost one device round trip EACH —
+        # ~8 RTTs per block measured 285 ms on this tunnel vs ~35
+        # batched, tools/stream_rate_tpu.out)
         quality = np.asarray(quality, np.float32)
         rssi_pb = np.asarray(rssi_pb, np.float32)
         out = []
