@@ -327,7 +327,7 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
     # (even/odd block parity), P channels each, kernel length T — with
     # NO (Nh, L) window materialization (2T x less HBM traffic).
     nblk = n_ext // P                                            # Nh + 2T - 1
-    assert not planar_in or fold in ("bank", "bank2"), \
+    assert not planar_in or fold in ("bank", "bank2", "bankp"), \
         "planar_in needs a bank fold"
     batch = x_ext.shape[:-2]
     coef = jnp.asarray(h)[::-1].reshape(T, M)                    # coef[t, q_w]
@@ -359,6 +359,49 @@ def _analyze_block_chmajor(x_ext, h, M: int, T: int, hop0_parity=0,
         out = jnp.einsum("kq,...nq->...kn", A, vcat,
                          preferred_element_type=jnp.float32)     # (..., 2M, Nh)
         y2 = out.reshape(batch + (2, M, Nh))
+        sgn = jnp.swapaxes(_hop_sign(M, Nh, hop0_parity), -1, -2)
+        y2 = y2 * sgn
+        if planar:
+            return y2
+        return jnp.stack([y2[..., 0, :, :], y2[..., 1, :, :]], axis=-1)
+    if fold == "bankp":
+        # PAIRED variant of "bank": four einsums with (2M, P) column
+        # blocks of the fused transform+derotation matrix — each folded
+        # bank is read ONCE by the MXU (the plain bank path reads every
+        # bank twice, once per cos/sin matrix: the dominant analyze
+        # traffic), with NO data concatenation (bank2's loss was the
+        # materialized (Nh, 4P) operand copy; here only the CONSTANT
+        # matrices stack).  FLOPs identical; derotation rides the
+        # matrix rows for free.  Numerics differ from "bank" only in
+        # f32 rounding order (derotation folded before vs after the
+        # contraction).
+        fold_t = jnp.bfloat16 if bf16 else jnp.float32
+        if planar_in:
+            xpl = x_ext[..., : nblk * P]                         # (..., 2, n)
+        else:
+            xpl = jnp.swapaxes(x_ext[..., : nblk * P, :], -1, -2)
+        bl = xpl.reshape(batch + (2, nblk, P)).astype(jnp.float32)
+        acc_e = k_even[0] * bl[..., 0:Nh, :]
+        acc_o = k_odd[0] * bl[..., 1:1 + Nh, :]
+        for t in range(1, T):
+            acc_e = acc_e + k_even[t] * bl[..., 2 * t: 2 * t + Nh, :]
+            acc_o = acc_o + k_odd[t] * bl[..., 2 * t + 1: 2 * t + 1 + Nh, :]
+        acc_e = acc_e.astype(fold_t)
+        acc_o = acc_o.astype(fold_t)
+        or_, oi = acc_o[..., 0, :, :], acc_o[..., 1, :, :]
+        er, ei = acc_e[..., 0, :, :], acc_e[..., 1, :, :]
+        A = _dft_mats_folded_fused(M)                            # (2M, 4P)
+
+        def dotp(cols, v):
+            Ab = jnp.asarray(cols).astype(v.dtype)
+            return jnp.einsum("kq,...nq->...kn", Ab, v,
+                              preferred_element_type=jnp.float32)
+
+        y2 = (dotp(A[:, 0 * P:1 * P], or_)
+              + dotp(A[:, 1 * P:2 * P], oi)
+              + dotp(A[:, 2 * P:3 * P], er)
+              + dotp(A[:, 3 * P:4 * P], ei))                     # (..., 2M, Nh)
+        y2 = y2.reshape(batch + (2, M, Nh))
         sgn = jnp.swapaxes(_hop_sign(M, Nh, hop0_parity), -1, -2)
         y2 = y2 * sgn
         if planar:

@@ -209,3 +209,32 @@ def test_bank2_fold_matches_conv_fold():
                 jnp.asarray(np.asarray(xe).T.copy()), h, Mt, Tt, par,
                 False, 0, "bank2", True, planar_in=True))
             assert np.array_equal(planar, bank2)
+
+
+def test_bankp_fold_matches_conv_fold():
+    """Paired bank transform (r4): four (2M, P) column-block einsums —
+    each folded bank read ONCE, no data concatenation — must equal the
+    classic path (derotation folded into the matrix changes only f32
+    rounding order)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    for Mt, Tt in ((8, 8), (16, 4)):
+        spec = ch.ChannelizerSpec(Mt, Tt)
+        n = Mt * 64
+        x = rng.normal(0, 1, (n, 2)).astype(np.float32)
+        xe = jnp.concatenate(
+            [jnp.zeros((spec.ntaps - spec.hop, 2), jnp.float32),
+             jnp.asarray(x)], axis=0)
+        h = ch.prototype_taps(Mt, Tt)
+        for par in (0, 1):
+            conv = np.asarray(ch._analyze_block_chmajor(
+                xe, h, Mt, Tt, par, False, 0, "conv", True))
+            bankp = np.asarray(ch._analyze_block_chmajor(
+                xe, h, Mt, Tt, par, False, 0, "bankp", True))
+            assert bankp.shape == conv.shape == (2, Mt, n // spec.hop)
+            err = np.abs(conv - bankp).max()
+            assert err < 1e-5 * max(np.abs(conv).max(), 1.0), (Mt, err)
+            planar = np.asarray(ch._analyze_block_chmajor(
+                jnp.asarray(np.asarray(xe).T.copy()), h, Mt, Tt, par,
+                False, 0, "bankp", True, planar_in=True))
+            assert np.array_equal(planar, bankp)
