@@ -438,6 +438,20 @@ class BaseStation:
                 self._debug("usage: handoff <old_chan> <new_chan>\n")
             else:
                 self.handoff(old_c, new_c)
+        elif cmd.lower().startswith("release "):
+            # extension command: 'release <chan>' — operator-initiated
+            # teardown (FVC release order + supervisor removal)
+            parts = cmd.split()
+            try:
+                chan = int(parts[1])
+            except (ValueError, IndexError):
+                self._debug("usage: release <chan>\n")
+            else:
+                if chan in self.supervisors:
+                    self.release_call(chan, "operator release")
+                else:
+                    self._debug(f"release: no active call on channel "
+                                f"{chan}\n")
         else:
             self._debug("invalid command\n")
 

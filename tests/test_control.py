@@ -393,3 +393,27 @@ def test_intercept_origination_survives_exhausted_plan():
     w2 = focc[-2][1]
     order = int("".join(str(int(b)) for b in np.asarray(w2)[23:28]), 2)
     assert order == 9, order                  # intercept order
+
+
+def test_operator_release_command():
+    """Extension command 'release <chan>': operator-initiated teardown
+    of an active call (FVC release order + supervisor removal); invalid
+    or idle channels get a usage/no-call debug reply."""
+    st = BaseStation()
+    words, ok = _decoded(recc_ms.page_response_words("5551234567"))
+    st.handle_burst(words, ok)
+    assert 355 in st.supervisors
+    st.handle_command("release 355")
+    assert 355 not in st.supervisors
+    assert any(k == "release" and p == (355, "operator release")
+               for k, p in ((e.kind, e.payload) for e in st.events))
+    # the release order rode the FVC with the self-terminating timer
+    (_, _), (rel, timer) = _events(st, "fvc_words")
+    assert np.array_equal(rel, words_ref.fvc_word1_general(1, 0, 0, 3))
+    assert timer == st.system.fvc_alert_repeats
+    st.handle_command("release 999")
+    assert "no active call" in " ".join(
+        str(p) for p in _events(st, "debug"))
+    st.handle_command("release nope")
+    assert "usage: release" in " ".join(
+        str(p) for p in _events(st, "debug"))
