@@ -45,7 +45,8 @@ def build_parser():
                         "band).  Mesh mode — a LIVE scripted mobile: "
                         "mobile:MIN (answers a page, hangs up) | "
                         "mobile:MIN:originate:DIGITS[:BLOCK[:HANGUP_"
-                        "AFTER]]; repeat for concurrent calls")
+                        "AFTER]] | mobile:MIN:register[:BLOCK]; repeat "
+                        "for concurrent calls")
     p.add_argument("--port", type=int, default=64652,
                    help="TCP command port (reference Socket PDU port)")
     p.add_argument("--voice-slot-map", type=str, default="",
@@ -250,6 +251,10 @@ def _run_mesh(args, result: dict | None = None):
                         and sched["block"] ==
                         (int(action[2]) if len(action) > 2 else 2)):
                     m.originate(action[1])
+                elif (action and action[0] == "register"
+                        and sched["block"] ==
+                        (int(action[1]) if len(action) > 1 else 2)):
+                    m.register()
                 hang_after = (int(action[3])
                               if action and len(action) > 3 else 3)
                 if m.state == "ringing":

@@ -163,3 +163,21 @@ def test_mesh_bs_two_concurrent_calls():
              if e.kind == "supervision_event"]
     assert set(kinds) <= {"sat_lost", "sat_back", "release"}, kinds
     assert not station.supervisors
+
+
+def test_mesh_bs_registration():
+    """Autonomous registration through the multi-chip application: the
+    scripted mobile registers over the air (RECC through the sharded
+    RX) and hears the station's audit-order confirmation on the sharded
+    FOCC — the third dispatch type (after page response and
+    origination) proven at the application level."""
+    result: dict = {}
+    from apps import bs_app
+    bs_app.main(["--mesh", "2x2", "--channels", "8", "--platform", "cpu",
+                 "--simulate", "mobile:2135551212:register:2",
+                 "--no-server", "--blocks", "6"], result)
+    station, mob = result["station"], result["mobs"][0]
+    assert "register" in mob.log, mob.log
+    assert "audit_confirmed" in mob.log, mob.log
+    assert any(e.kind == "debug" and "registration" in str(e.payload)
+               for e in station.events)
