@@ -43,6 +43,13 @@ class SupervisionConfig:
     st_release_s: float = 1.8      # ST >= 1.8 s -> mobile release
     st_flash_min_s: float = 0.25   # 400 ms flash window (553 §2.7.2)
     st_flash_max_s: float = 0.8
+    # Answer arming: ringing ST must be heard CONTINUOUSLY for this
+    # long before an ST drop counts as the answer.  Fading produces
+    # isolated false-ST frames (measured: up to ~12% of frames at low
+    # SNR, runs <= 0.03 s — tools/sup_fading_sweep.out); without
+    # arming, ONE such frame during alerting plus the next quiet frame
+    # faked an answer.  Real ringing runs for seconds.
+    st_answer_arm_s: float = 0.2
     alert_timeout_s: float = 65.0  # unanswered alert -> release
     min_power: float = 1e-6        # RVC carrier-present gate (lower)
     # Discriminator-noise squelch (upper bound): a DEAD carrier
@@ -141,6 +148,7 @@ class ChannelSupervisor:
         """FVC alert order sent; mobile should ring (ST on) until answer."""
         self.state = ALERTING
         self._alert_t = 0.0
+        self._st_run_t = 0.0
         self._st_seen_in_alert = False
 
     def begin_conversation(self) -> None:
@@ -204,16 +212,29 @@ class ChannelSupervisor:
         if self.state == ALERTING:
             self._alert_t += cfg.frame_s
             if st_on:
-                self._st_seen_in_alert = True
-            elif self._st_seen_in_alert and carrier:
-                # ST drop after ringing = answer (553 §2.7.2).  Gated on
-                # carrier: a fade frame carries NO tone information
-                # (the discriminator outputs full-scale noise), so it
-                # must not register as an ST drop — one deep-fade frame
-                # while ringing would otherwise fire a false answer.
-                self.begin_conversation()
-                self._emit("answer")
-                return
+                self._st_run_t += cfg.frame_s
+                if self._st_run_t >= cfg.st_answer_arm_s:
+                    # a sustained ring run arms the answer detector —
+                    # fading's isolated false-ST frames (runs <= 0.03 s
+                    # measured) can never arm it
+                    self._st_seen_in_alert = True
+            elif carrier:
+                self._st_run_t = 0.0
+                if self._st_seen_in_alert:
+                    # ST drop after ringing = answer (553 §2.7.2).
+                    # Gated on carrier: a fade frame carries NO tone
+                    # information (the discriminator outputs full-scale
+                    # noise), so it must not register as an ST drop —
+                    # one deep-fade frame while ringing would otherwise
+                    # fire a false answer.
+                    self.begin_conversation()
+                    self._emit("answer")
+                    return
+            else:
+                # carrier loss: the run cannot be verified — reset it
+                # (the armed flag survives; a real fade mid-ring must
+                # not disarm an already-heard ring)
+                self._st_run_t = 0.0
             if self._alert_t >= cfg.alert_timeout_s:
                 self._release("alert timeout (no answer)")
         elif self.state == CONVERSATION:

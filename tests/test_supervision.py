@@ -232,3 +232,62 @@ def test_noise_that_slips_the_power_squelch_cannot_sustain_st():
     assert any(e.kind == "flash" for e in sup2.events) or \
         sup2._st_run_t == 0.0  # the 0.5 s run read as ST throughout
     assert (lv2[:, 3] > cfg.st_guard_ratio * lv2[:, 4]).all()
+
+
+def test_isolated_false_st_frames_cannot_fake_an_answer():
+    """r4 fading study: fade edges produce ISOLATED false-ST frames
+    (runs <= 0.03 s measured, tools/sup_fading_sweep.out).  Before the
+    answer-arming run requirement, ONE such frame during alerting plus
+    the next quiet frame faked an answer.  Real ringing (seconds of
+    continuous ST) still answers normally."""
+    cfg = SupervisionConfig()
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    sup.begin_alert()
+    quiet, pw_q = _frames(_tone_demod(0.1, st=False))      # SAT only
+    blip, pw_b = _frames(_tone_demod(0.02, st=True))       # 2 ST frames
+    sup.push_frames(quiet, pw_q)
+    sup.push_frames(blip, pw_b)       # isolated blip, below arm run
+    sup.push_frames(quiet, pw_q)
+    assert not any(e.kind == "answer" for e in sup.events), sup.events
+    assert sup.state == ALERTING
+    # genuine ringing (>= arm run) then drop answers
+    ring, pw_r = _frames(_tone_demod(0.3, st=True))
+    sup.push_frames(ring, pw_r)
+    sup.push_frames(quiet, pw_q)
+    assert any(e.kind == "answer" for e in sup.events)
+    assert sup.state == CONVERSATION
+
+
+def test_supervision_rides_out_fading():
+    """docs/BER.md supervision section regression: conversation-state
+    supervision through fast Rayleigh fading + noise must neither
+    release the call (longest SAT loss << fade timeout) nor emit ANY
+    signaling event (isolated false-ST frames never reach flash
+    length)."""
+    import jax.numpy as jnp
+    from amps_tpu.config import PipelineConfig
+    from amps_tpu.dsp.fm import fm_modulate, quadrature_demod
+    from amps_tpu.eval import channel
+
+    pipe = PipelineConfig()
+    fs = float(pipe.chan_rate)
+    sens = 2.0 * np.pi * pipe.deviation_hz / fs
+    n = int(8.0 * fs)
+    t = np.arange(n) / fs
+    m = (0.05 * np.cos(2 * np.pi * 6000.0 * t)
+         + 0.3 * np.cos(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    iq = np.asarray(fm_modulate(jnp.asarray(m), sens)[0])
+    rng = np.random.default_rng(5)
+    iq = np.asarray(channel.apply_gain(
+        iq, channel.rayleigh_gain(n, fs, 77.0, rng)), np.float32)
+    iq = iq + rng.normal(0, np.sqrt(10 ** (-1.0) / 2),
+                         iq.shape).astype(np.float32)   # 10 dB
+    demod = np.asarray(quadrature_demod(jnp.asarray(iq))[0]) / sens
+    lv, pw = _frames(demod)
+    sup = ChannelSupervisor(355, scc=1, config=SupervisionConfig(),
+                            state=CONVERSATION)
+    sup.push_frames(lv, pw)
+    kinds = [e.kind for e in sup.events]
+    assert "release" not in kinds, kinds
+    assert "flash" not in kinds and "answer" not in kinds, kinds
+    assert sup.state == CONVERSATION
