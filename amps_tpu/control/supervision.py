@@ -43,13 +43,21 @@ class SupervisionConfig:
     st_release_s: float = 1.8      # ST >= 1.8 s -> mobile release
     st_flash_min_s: float = 0.25   # 400 ms flash window (553 §2.7.2)
     st_flash_max_s: float = 0.8
-    # Answer arming: ringing ST must be heard CONTINUOUSLY for this
-    # long before an ST drop counts as the answer.  Fading produces
-    # isolated false-ST frames (measured: up to ~12% of frames at low
-    # SNR, runs <= 0.03 s — tools/sup_fading_sweep.out); without
-    # arming, ONE such frame during alerting plus the next quiet frame
-    # faked an answer.  Real ringing runs for seconds.
+    # Answer debouncing, both directions, thresholds from the fading
+    # study (tools/sup_fading_sweep.out, docs/BER.md):
+    # * arm: 0.2 s of ACCUMULATED ringing ST must be heard before an ST
+    #   drop can count as the answer — fading's isolated false-ST
+    #   frames (runs <= 0.03 s) cannot arm it, while genuinely ringing
+    #   faded signals (ST in >= 59% of carrier frames even at 6 dB
+    #   fast fading) arm within ~0.4 s.  Accumulation resets only when
+    #   ST is CONFIRMED off (below), so fading's short detection gaps
+    #   (miss runs <= 0.05 s on a ringing signal) cannot starve it.
+    # * drop: the answer fires only after st_drop_confirm_s of
+    #   CONSECUTIVE quiet-with-carrier frames — a single fade-edge
+    #   frame whose ST bin dips cannot fake an early answer (the ring
+    #   would then accumulate in CONVERSATION to a phantom ST release).
     st_answer_arm_s: float = 0.2
+    st_drop_confirm_s: float = 0.1
     alert_timeout_s: float = 65.0  # unanswered alert -> release
     min_power: float = 1e-6        # RVC carrier-present gate (lower)
     # Discriminator-noise squelch (upper bound): a DEAD carrier
@@ -91,6 +99,38 @@ class SupervisionConfig:
     carrier_guard_max: float = 0.04
 
 
+def classify_frames(levels, power, scc: int, cfg: "SupervisionConfig"):
+    """Vectorized evaluation of the production supervision gates:
+    (carrier, sat_ok, st_on) boolean arrays for (F, n_tones) levels +
+    (F,) power.  THE single source of gate truth — push_frames consumes
+    it per batch, and measurement tools (tools/sup_fading_sweep.py)
+    must use it so their published numbers always describe the shipping
+    gates.  Legacy (F, 4) feeds without the guard column skip the
+    guard-based gates."""
+    levels = np.asarray(levels)
+    power = np.asarray(power)
+    has_guard = levels.shape[-1] > 4
+    margin = 10.0 ** (cfg.sat_margin_db / 20.0)
+    carrier = (power > cfg.min_power) & (power < cfg.max_power)
+    if has_guard:
+        # channelized dead carrier slips the power window; its demod
+        # noise floor in the guard bins does not
+        carrier = carrier & (levels[..., 4] < cfg.carrier_guard_max)
+    sat = levels[..., :3]
+    mine = sat[..., scc]
+    others = np.max(np.delete(sat, scc, axis=-1), axis=-1)
+    sat_ok = (carrier & (mine > cfg.sat_on_ratio * cfg.sat_nominal)
+              & (mine > others * margin))
+    st = levels[..., 3]
+    st_on = carrier & (st > cfg.st_on_ratio * cfg.st_nominal)
+    if has_guard:
+        # per-frame dominance over the empty guard bins: white
+        # discriminator noise cannot sustain this for a flash-length
+        # run, a real tone always does
+        st_on = st_on & (st > cfg.st_guard_ratio * levels[..., 4])
+    return carrier, sat_ok, st_on
+
+
 # call states
 IDLE = "idle"
 ALERTING = "alerting"            # FVC alert sent, waiting for answer
@@ -124,7 +164,10 @@ class ChannelSupervisor:
         self.state = state
         self.t = 0.0
         self._sat_loss_t = 0.0     # continuous seconds without good SAT
-        self._st_run_t = 0.0       # continuous seconds of ST present
+        self._st_run_t = 0.0       # ST-present seconds (continuous in
+                                   # CONVERSATION; accumulated while
+                                   # ALERTING, see _step)
+        self._st_quiet_t = 0.0     # consecutive quiet-with-carrier s
         self._alert_t = 0.0
         self._st_seen_in_alert = False
         self.events: List[SupervisionEvent] = []
@@ -149,11 +192,13 @@ class ChannelSupervisor:
         self.state = ALERTING
         self._alert_t = 0.0
         self._st_run_t = 0.0
+        self._st_quiet_t = 0.0
         self._st_seen_in_alert = False
 
     def begin_conversation(self) -> None:
         self.state = CONVERSATION
         self._st_run_t = 0.0
+        self._st_quiet_t = 0.0
 
     def push_frames(self, levels, power) -> None:
         """levels: (F, 5) amplitudes [SAT0, SAT1, SAT2, ST, GUARD] from
@@ -164,31 +209,14 @@ class ChannelSupervisor:
         cfg = self.cfg
         levels = np.asarray(levels)
         power = np.asarray(power)
-        margin = 10.0 ** (cfg.sat_margin_db / 20.0)
-        has_guard = levels.shape[-1] > 4
+        carrier_v, sat_ok_v, st_on_v = classify_frames(
+            levels, power, self.scc, cfg)
         for f in range(levels.shape[0]):
             if self.state in (IDLE, RELEASED):
                 self.t += cfg.frame_s
                 continue
-            sat = levels[f, :3]
-            st = levels[f, 3]
-            mine = sat[self.scc]
-            others = max(sat[i] for i in range(3) if i != self.scc)
-            carrier = cfg.min_power < power[f] < cfg.max_power
-            if has_guard:
-                # channelized dead carrier slips the power window;
-                # its demod noise floor in the guard bins does not
-                carrier = carrier and levels[f, 4] < cfg.carrier_guard_max
-            sat_ok = (carrier
-                      and mine > cfg.sat_on_ratio * cfg.sat_nominal
-                      and mine > others * margin)
-            st_on = carrier and st > cfg.st_on_ratio * cfg.st_nominal
-            if has_guard:
-                # per-frame dominance over the empty guard bins: white
-                # discriminator noise cannot sustain this for a flash-
-                # length run, a real tone always does
-                st_on = st_on and st > cfg.st_guard_ratio * levels[f, 4]
-            self._step(sat_ok, st_on, carrier)
+            self._step(bool(sat_ok_v[f]), bool(st_on_v[f]),
+                       bool(carrier_v[f]))
             self.t += cfg.frame_s
 
     def _step(self, sat_ok: bool, st_on: bool, carrier: bool = True) -> None:
@@ -212,29 +240,32 @@ class ChannelSupervisor:
         if self.state == ALERTING:
             self._alert_t += cfg.frame_s
             if st_on:
+                # accumulate ring time; fading's short detection gaps
+                # (miss runs <= 0.05 s on a ringing signal, measured)
+                # do not reset it — only a CONFIRMED off does
                 self._st_run_t += cfg.frame_s
-                if self._st_run_t >= cfg.st_answer_arm_s:
-                    # a sustained ring run arms the answer detector —
-                    # fading's isolated false-ST frames (runs <= 0.03 s
-                    # measured) can never arm it
+                self._st_quiet_t = 0.0
+                # half-frame slack: N frame_s accumulations of 0.01
+                # undershoot N/100 by float epsilon
+                if self._st_run_t >= cfg.st_answer_arm_s - cfg.frame_s / 2:
                     self._st_seen_in_alert = True
             elif carrier:
-                self._st_run_t = 0.0
-                if self._st_seen_in_alert:
-                    # ST drop after ringing = answer (553 §2.7.2).
-                    # Gated on carrier: a fade frame carries NO tone
-                    # information (the discriminator outputs full-scale
-                    # noise), so it must not register as an ST drop —
-                    # one deep-fade frame while ringing would otherwise
-                    # fire a false answer.
-                    self.begin_conversation()
-                    self._emit("answer")
-                    return
+                # quiet-with-carrier: confirm the drop over
+                # st_drop_confirm_s consecutive frames before acting —
+                # a single fade-edge frame whose ST bin dips must
+                # neither fire an early answer nor reset the ring
+                # accumulator (553 §2.7.2 answer = sustained removal)
+                self._st_quiet_t += cfg.frame_s
+                if self._st_quiet_t >= cfg.st_drop_confirm_s - cfg.frame_s / 2:
+                    if self._st_seen_in_alert:
+                        self.begin_conversation()
+                        self._emit("answer")
+                        return
+                    self._st_run_t = 0.0   # confirmed off: restart arm
             else:
-                # carrier loss: the run cannot be verified — reset it
-                # (the armed flag survives; a real fade mid-ring must
-                # not disarm an already-heard ring)
-                self._st_run_t = 0.0
+                # carrier loss: tone state is unobservable — freeze
+                # both the ring accumulator and the drop confirmation
+                self._st_quiet_t = 0.0
             if self._alert_t >= cfg.alert_timeout_s:
                 self._release("alert timeout (no answer)")
         elif self.state == CONVERSATION:

@@ -150,7 +150,8 @@ def save_station(path: str, bs) -> None:
         s = bs.supervisors[c]
         payload[f"sup_{c}"] = np.asarray(
             [_SUP_STATES.index(s.state), s.t, s._sat_loss_t, s._st_run_t,
-             s._alert_t, float(s._st_seen_in_alert)], np.float64)
+             s._alert_t, float(s._st_seen_in_alert),
+             s._st_quiet_t], np.float64)
     # per-channel FVC streams + mute pairs (per_channel_fvc stations)
     fchans = sorted(getattr(bs, "fvc_streams", {}))
     payload["fvc_channels"] = np.asarray(fchans, np.int64)
@@ -206,7 +207,8 @@ def load_station(path: str, bs) -> None:
     bs.supervisors.clear()
     for c in z["sup_channels"]:
         c = int(c)
-        st_i, t, loss, st_run, alert, seen = z[f"sup_{c}"]
+        vec = np.asarray(z[f"sup_{c}"], np.float64)
+        st_i, t, loss, st_run, alert, seen = vec[:6]
         sup = ChannelSupervisor(c, bs.system.scc, bs.supervision_config,
                                 on_event=bs._on_supervision_event,
                                 state=_SUP_STATES[int(st_i)])
@@ -215,6 +217,9 @@ def load_station(path: str, bs) -> None:
         sup._st_run_t = float(st_run)
         sup._alert_t = float(alert)
         sup._st_seen_in_alert = bool(seen)
+        # 7th field (answer drop-confirm run) added r4; older
+        # checkpoints default it to 0
+        sup._st_quiet_t = float(vec[6]) if len(vec) > 6 else 0.0
         bs.supervisors[c] = sup
 
 

@@ -252,8 +252,13 @@ def _run_mesh(args, result: dict | None = None):
                         (int(action[2]) if len(action) > 2 else 2)):
                     m.originate(action[1])
                 elif (action and action[0] == "register"
-                        and sched["block"] ==
+                        and "register" not in m.log
+                        and sched["block"] >=
                         (int(action[1]) if len(action) > 1 else 2)):
+                    # retried until the access actually queues: with
+                    # concurrent mobiles the B/I bit can read busy at
+                    # the scheduled block and register() drops the
+                    # access silently ('register_blocked')
                     m.register()
                 hang_after = (int(action[3])
                               if action and len(action) > 3 else 3)
