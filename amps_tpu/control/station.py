@@ -218,7 +218,12 @@ class BaseStation:
         of the plan, or None when the plan is exhausted."""
         if self.per_channel_fvc:
             for c in self._vc_plan:
-                if c not in self.supervisors:
+                # a channel whose per-channel FVC is still unmuted has a
+                # pending signaling burst (typically a release order
+                # whose timerhack 'fvc off' has not fired yet) — handing
+                # it to a new call would replace the pending burst and
+                # the released mobile might never hear its release
+                if c not in self.supervisors and self.fvc_mutes.get(c, True):
                     return c
             return None
         if kind == "response" or len(self._vc_plan) < 2:
@@ -304,8 +309,16 @@ class BaseStation:
             word2 = W.focc_word2_voice_channel(self.system.scc, wb.MIN2, 0,
                                                chan)
         self._push_focc(word1, word2)
-        self._set_mutes(fvc_mute=True, audio_mute=False,
-                        chan=None if intercept else chan)
+        if intercept:
+            # the intercept rides the FOCC; no voice channel is touched.
+            # Only a shared-slot station keeps the legacy global-mute
+            # reset — on a per-channel station the global pair is dead
+            # state no mapped slot consults, and flipping it would emit
+            # misleading global mute events (r4 advisor finding)
+            if not self.per_channel_fvc:
+                self._set_mutes(fvc_mute=True, audio_mute=False, chan=None)
+        else:
+            self._set_mutes(fvc_mute=True, audio_mute=False, chan=chan)
         if not intercept:
             # originating mobile is already off-hook: conversation state
             self._start_supervision(chan, CONVERSATION)

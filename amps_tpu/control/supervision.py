@@ -58,6 +58,18 @@ class SupervisionConfig:
     #   would then accumulate in CONVERSATION to a phantom ST release).
     st_answer_arm_s: float = 0.2
     st_drop_confirm_s: float = 0.1
+    # * decay: while the tone is absent but the carrier is up (quiet
+    #   frames that have NOT yet confirmed an off), the ring
+    #   accumulator decays at this fraction of real time instead of
+    #   holding.  A PERIODIC pattern of spurious one-frame ST hits with
+    #   inter-arrival < st_drop_confirm_s could otherwise ratchet the
+    #   accumulator to the arm threshold without ever ringing (r4
+    #   advisor finding); with half-rate decay, arming needs an ST duty
+    #   cycle > 1/3 — fading's isolated false-ST hits are far sparser
+    #   (runs <= 0.03 s, isolated; tools/sup_fading_sweep.out), while a
+    #   genuinely ringing faded signal (ST in >= 59% of carrier frames
+    #   even at 6 dB fast fading) still arms in <= ~0.6 s.
+    st_arm_decay_ratio: float = 0.5
     alert_timeout_s: float = 65.0  # unanswered alert -> release
     min_power: float = 1e-6        # RVC carrier-present gate (lower)
     # Discriminator-noise squelch (upper bound): a DEAD carrier
@@ -254,7 +266,14 @@ class ChannelSupervisor:
                 # st_drop_confirm_s consecutive frames before acting —
                 # a single fade-edge frame whose ST bin dips must
                 # neither fire an early answer nor reset the ring
-                # accumulator (553 §2.7.2 answer = sustained removal)
+                # accumulator (553 §2.7.2 answer = sustained removal).
+                # Unconfirmed quiet DECAYS the accumulator (it does not
+                # hold): a periodic train of isolated spurious ST hits
+                # spaced just under the confirm window can then never
+                # ratchet to the arm threshold (needs duty > 1/3),
+                # while real ringing through fading gaps still arms.
+                self._st_run_t = max(
+                    0.0, self._st_run_t - cfg.st_arm_decay_ratio * cfg.frame_s)
                 self._st_quiet_t += cfg.frame_s
                 if self._st_quiet_t >= cfg.st_drop_confirm_s - cfg.frame_s / 2:
                     if self._st_seen_in_alert:

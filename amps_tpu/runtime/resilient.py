@@ -22,6 +22,7 @@ through ``max_retries`` rebuilds is re-raised.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -73,9 +74,40 @@ class ResilientReceiver:
                 self.on_burst(r)
         return out
 
+    @contextlib.contextmanager
+    def _sup_guard(self, cb_errors: List[BaseException]):
+        """Wrap the inner receiver's on_supervision so a USER-callback
+        exception is recorded and re-raised AFTER the retry loop instead
+        of propagating out of rx.push, where it would masquerade as a
+        device failure and trigger a rebuild+replay that re-delivers the
+        block's supervision frames (double-advancing SAT/ST timers).
+        The guard wraps whatever receiver is current at entry; recovery
+        builds a fresh receiver inside its own guard."""
+        rx = self.rx
+        cb = getattr(rx, "on_supervision", None)
+        if cb is None:
+            yield
+            return
+
+        def guarded(*a, **kw):
+            try:
+                cb(*a, **kw)
+            except Exception as e:  # noqa: BLE001 — user callback
+                cb_errors.append(e)
+
+        rx.on_supervision = guarded
+        try:
+            yield
+        finally:
+            # restore on the receiver that ran under the guard (self.rx
+            # may already be a rebuilt instance if a device error hit)
+            if getattr(rx, "on_supervision", None) is guarded:
+                rx.on_supervision = cb
+
     # -- recovery ------------------------------------------------------------
 
-    def _recover_and_replay_raw(self) -> List[BurstReport]:
+    def _recover_and_replay_raw(
+            self, cb_errors: List[BaseException]) -> List[BurstReport]:
         """Fresh receiver + snapshot restore + ring replay (raw reports;
         dedup happens at delivery).
 
@@ -84,19 +116,22 @@ class ResilientReceiver:
         blocks' supervision frames were already delivered before the
         failure, and re-delivering them would advance SAT/ST timers
         twice — burst reports have positional dedup, supervision frames
-        do not."""
+        do not.  The last block's delivery runs under the same
+        exception guard as a normal push (``cb_errors``)."""
         self.recoveries += 1
         self.rx = self._make()
         restore_receiver(self._snap, self.rx)
         raw: List[BurstReport] = []
         saved_cb = getattr(self.rx, "on_supervision", None)
         try:
-            for i, blk in enumerate(self._ring):
-                if saved_cb is not None:
-                    self.rx.on_supervision = (saved_cb
-                                              if i == len(self._ring) - 1
-                                              else None)
-                raw += self.rx.push(blk)
+            with self._sup_guard(cb_errors):
+                guarded_cb = getattr(self.rx, "on_supervision", None)
+                for i, blk in enumerate(self._ring):
+                    if saved_cb is not None:
+                        self.rx.on_supervision = (guarded_cb
+                                                  if i == len(self._ring) - 1
+                                                  else None)
+                    raw += self.rx.push(blk)
         finally:
             # a failed replay must not leave the rebuilt receiver with
             # its supervision callback suppressed (the caller may catch
@@ -110,10 +145,15 @@ class ResilientReceiver:
     def push(self, block) -> List[BurstReport]:
         block = np.asarray(block)
         self._ring.append(block)
+        cb_errors: List[BaseException] = []
         for attempt in range(self.max_retries + 1):
+            cb_errors.clear()   # a retried attempt re-delivers the frames
             try:
-                raw = (self.rx.push(block) if attempt == 0
-                       else self._recover_and_replay_raw())
+                if attempt == 0:
+                    with self._sup_guard(cb_errors):
+                        raw = self.rx.push(block)
+                else:
+                    raw = self._recover_and_replay_raw(cb_errors)
             except Exception:
                 if attempt == self.max_retries:
                     # the block never succeeded: drop it from the ring so
@@ -134,6 +174,11 @@ class ResilientReceiver:
             floor = int(self._snap["abs_base"]) // self.rx.sps \
                 - (len(self._snap["carry"][0]) // self.rx.sps)
             self._delivered = {k for k in self._delivered if k[1] >= floor}
+        if cb_errors:
+            # user-callback failure: the push itself succeeded (state
+            # advanced, reports delivered) — surface the error without
+            # having triggered a rebuild (module invariant)
+            raise cb_errors[0]
         return out
 
     def flush(self) -> List[BurstReport]:

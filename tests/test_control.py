@@ -417,3 +417,71 @@ def test_operator_release_command():
     st.handle_command("release nope")
     assert "usage: release" in " ".join(
         str(p) for p in _events(st, "debug"))
+
+
+def test_released_channel_not_reassigned_until_fvc_off():
+    """Advisor finding (r4): in per_channel_fvc mode a released
+    channel's FVC stream is still repeating the release order (its
+    timerhack 'fvc off' has not fired); assigning a new call there
+    would replace the pending burst and the released mobile might never
+    hear its release.  The channel must stay out of the assignment pool
+    until the timer fires, then become assignable again."""
+    from amps_tpu.config import SystemConfig
+
+    sys_cfg = SystemConfig(voice_channels=(355, 356, 357))
+    st = BaseStation(sys_cfg, per_channel_fvc=True)
+
+    # call A on 355, then release it — the release order is now pending
+    words, ok = _decoded(recc_ms.page_response_words("5551234567"))
+    st.handle_burst(words, ok)
+    assert 355 in st.supervisors
+    st.release_call(355, "test release")
+    assert 355 not in st.supervisors
+    assert st.fvc_mute_for(355) is False       # order still repeating
+
+    # a new call must NOT land on 355 while its release is pending
+    words_b, ok_b = _decoded(recc_ms.page_response_words("9165554321"))
+    st.handle_burst(words_b, ok_b)
+    assert 355 not in st.supervisors
+    assert 356 in st.supervisors
+
+    # drive 355's stream until the timerhack fires its 'fvc off'
+    burst_len = 1032 * 2 * st._sps
+    st.fvc_for(355).next_block(burst_len * st.system.fvc_alert_repeats)
+    assert st.fvc_mute_for(355) is True        # order delivered
+
+    # 355 is assignable again (356 busy; free-first picks 355)
+    words_c, ok_c = _decoded(recc_ms.page_response_words("7025551000"))
+    st.handle_burst(words_c, ok_c)
+    assert 355 in st.supervisors
+
+
+def test_intercept_does_not_touch_global_mutes_on_per_channel_station():
+    """Advisor finding (r4): an intercept origination on a
+    per_channel_fvc station used to flip the GLOBAL mute pair (state no
+    mapped per-channel slot consults) and emit global mute events.  It
+    must leave the global pair — and every per-channel pair — alone."""
+    from amps_tpu.config import SystemConfig
+
+    st = BaseStation(SystemConfig(voice_channels=(355, 356)),
+                     per_channel_fvc=True)
+    g_fvc, g_audio = st.fvc_mute, st.audio_mute
+    n_mute_events = sum(1 for e in st.events
+                        if e.kind in ("fvc_mute", "audio_mute"))
+    words, ok = _decoded(recc_ms.origination_words(
+        "4155559876", "0123456789"))            # leading '0' -> intercept
+    st.handle_burst(words, ok)
+    assert st.fvc_mute is g_fvc and st.audio_mute is g_audio
+    assert not st.fvc_mutes and not st.audio_mutes
+    assert sum(1 for e in st.events
+               if e.kind in ("fvc_mute", "audio_mute")) == n_mute_events
+    # the intercept order itself still went out
+    focc = _events(st, "focc_words")
+    w2 = focc[-2][1]
+    order = int("".join(str(int(b)) for b in np.asarray(w2)[23:28]), 2)
+    assert order == 9
+    # a shared-slot station keeps the legacy global reset (parity)
+    st2 = BaseStation()
+    st2.fvc_mute, st2.audio_mute = False, True
+    st2.handle_burst(words, ok)
+    assert st2.fvc_mute is True and st2.audio_mute is False

@@ -393,3 +393,69 @@ def test_resilient_receiver_supervision_exactly_once():
     for (lv_a, pw_a), (lv_b, pw_b) in zip(ref, got):
         assert np.allclose(lv_a, lv_b, atol=1e-5)
         assert np.allclose(pw_a, pw_b, atol=1e-5)
+
+
+def test_resilient_receiver_callback_exception_is_not_a_device_failure():
+    """Advisor finding (r4): a supervision-callback exception used to be
+    caught by the retry loop as a device failure, triggering a
+    rebuild+replay that re-delivered the block's supervision frames
+    (double-advancing SAT/ST timers).  It must propagate to the caller
+    with NO recovery, and every frame must still be delivered exactly
+    once."""
+    import jax.numpy as jnp
+    from amps_tpu.dsp import channelizer as chz
+    from amps_tpu.dsp.fm import fm_modulate
+    from amps_tpu.runtime.resilient import ResilientReceiver
+    from amps_tpu.runtime.streamer import MultichannelReceiver
+
+    spec = SPEC
+    M = spec.num_channels
+    P = spec.chz_spec.hop
+    fs = float(spec.pipe.chan_rate)
+    sens = 2.0 * np.pi * spec.pipe.deviation_hz / fs
+    n = 8 * 4096
+    t = np.arange(n) / fs
+    m = 0.05 * np.cos(2 * np.pi * 6000.0 * t)
+    Y = np.zeros((n, M, 2), np.float32)
+    Y[:, 5] = np.asarray(fm_modulate(jnp.asarray(m, jnp.float32), sens)[0])
+    x, _ = chz.synthesize(jnp.asarray(Y), spec.chz_spec,
+                          chz.synthesizer_init(spec.chz_spec))
+    x = np.asarray(x)
+    blk = 4096 * P
+    blocks = [x[i:i + blk] for i in range(0, n * P, blk)]
+
+    def run(poison_at):
+        frames = []
+
+        def cb(s, lv, pw):
+            frames.append((np.asarray(lv), np.asarray(pw)))
+            if len(frames) == poison_at:
+                raise RuntimeError("station handler bug")
+
+        def make():
+            return MultichannelReceiver(
+                spec, threshold=0.5, supervision_slots=(5,),
+                on_supervision=cb)
+
+        res = ResilientReceiver(make, checkpoint_blocks=3)
+        raised = 0
+        for b in blocks:
+            try:
+                res.push(b)
+            except RuntimeError as e:
+                assert "station handler bug" in str(e)
+                raised += 1
+        return frames, res.recoveries, raised
+
+    ref, rec0, raised0 = run(poison_at=0)       # never raises
+    assert rec0 == 0 and raised0 == 0 and len(ref) > 2
+    got, recoveries, raised = run(poison_at=2)
+    # the exception surfaced exactly once, no rebuild happened, and the
+    # frame sequence is identical (each delivered exactly once — the
+    # poisoned frame was recorded before the callback raised)
+    assert raised == 1
+    assert recoveries == 0
+    assert len(got) == len(ref)
+    for (lv_a, pw_a), (lv_b, pw_b) in zip(ref, got):
+        assert np.allclose(lv_a, lv_b, atol=1e-5)
+        assert np.allclose(pw_a, pw_b, atol=1e-5)

@@ -291,3 +291,44 @@ def test_supervision_rides_out_fading():
     assert "release" not in kinds, kinds
     assert "flash" not in kinds and "answer" not in kinds, kinds
     assert sup.state == CONVERSATION
+
+
+def test_periodic_spurious_st_cannot_ratchet_the_arm_accumulator():
+    """Advisor finding (r4): the arming accumulator summed
+    non-consecutive ST frames with NO decay, so a periodic train of
+    isolated spurious ST hits with inter-arrival shorter than the drop
+    confirmation window (which is what resets the accumulator) could
+    ratchet it to the arm threshold and fire a false answer at the next
+    confirmed quiet.  With the unconfirmed-quiet decay, arming needs an
+    ST duty cycle > 1/3 — the sparse pattern never arms, while genuine
+    ringing seen through fading gaps (duty ~60%, miss runs below the
+    confirm window) still arms and answers."""
+    cfg = SupervisionConfig()
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    sup.begin_alert()
+    # 1 spurious ST frame every 8 frames: quiet runs of 7 frames never
+    # reach st_drop_confirm_s (10 frames), so the accumulator was never
+    # reset under the old logic and armed after ~1.6 s
+    blip, pw_b = _frames(_tone_demod(0.01, st=True))       # 1 ST frame
+    quiet7, pw_q7 = _frames(_tone_demod(0.07, st=False))   # 7 quiet
+    for _ in range(40):                                    # 3.2 s of pattern
+        sup.push_frames(blip, pw_b)
+        sup.push_frames(quiet7, pw_q7)
+    assert sup._st_run_t < cfg.st_answer_arm_s / 2, sup._st_run_t
+    assert not sup._st_seen_in_alert
+    # the pattern stops: the following confirmed quiet must NOT answer
+    quiet, pw_q = _frames(_tone_demod(0.3, st=False))
+    sup.push_frames(quiet, pw_q)
+    assert not any(e.kind == "answer" for e in sup.events), sup.events
+    assert sup.state == ALERTING
+
+    # fading-shaped genuine ringing still arms: 6 ST / 4 miss repeating
+    ring6, pw_r6 = _frames(_tone_demod(0.06, st=True))
+    miss4, pw_m4 = _frames(_tone_demod(0.04, st=False))
+    for _ in range(10):                                    # 1.0 s ringing
+        sup.push_frames(ring6, pw_r6)
+        sup.push_frames(miss4, pw_m4)
+    assert sup._st_seen_in_alert
+    sup.push_frames(quiet, pw_q)                           # confirmed drop
+    assert any(e.kind == "answer" for e in sup.events)
+    assert sup.state == CONVERSATION
