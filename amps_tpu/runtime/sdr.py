@@ -123,20 +123,165 @@ class RingIQSink(IQSink):
                 time.sleep(0.001)
 
 
-def soapy_source(args: str = "", rate: float = 400e3,
-                 freq: float = 835.59e6, gain: float = 30.0):
-    """Real-hardware source via SoapySDR, if the module is installed.
-
-    (Not baked into this image; external deployments install SoapySDR
-    and get the reference's USRP/HackRF coverage — README.md:87.)"""
+def _import_soapy():
     try:
-        import SoapySDR  # noqa: F401
+        import SoapySDR
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "SoapySDR python module not available in this environment; "
             "use FileIQSource/RingIQSource, or install SoapySDR") from e
-    raise NotImplementedError(
-        "wire SoapySDR streaming here for hardware deployments")
+    return SoapySDR
+
+
+# SoapySDR.h error codes (fixed by the Soapy ABI; read from the module
+# when present so a fake/test module can override)
+_SOAPY_TIMEOUT = -1
+_SOAPY_OVERFLOW = -2
+_SOAPY_UNDERFLOW = -4
+
+
+class SoapyIQSource(IQSource):
+    """Real-hardware RX via SoapySDR — the reference's uhd_usrp_source
+    seam (grc/ampsbs.grc:3069: 400 ksps tuned fcc_freq-45 MHz-rx_offset).
+
+    Streams CF32 off the device and yields riq float32 (n, 2) blocks
+    (complex stays host-side only — the device path is riq by design,
+    amps_tpu/dsp/iq.py).  Overflows are counted, not fatal (the RECC
+    correlator re-synchronizes on the next burst's dotting, exactly as
+    the reference's ring buffer does after a scheduler stall).
+    """
+
+    def __init__(self, args: str = "", rate: float = 400e3,
+                 freq: float = 835.59e6, gain: float = 30.0,
+                 channel: int = 0, timeout_s: float = 1.0):
+        sp = _import_soapy()
+        self._sp = sp
+        self.timeout_s = timeout_s
+        self.overflows = 0
+        self.dev = sp.Device(args)
+        rx = sp.SOAPY_SDR_RX
+        self.dev.setSampleRate(rx, channel, rate)
+        self.dev.setFrequency(rx, channel, freq)
+        self.dev.setGain(rx, channel, gain)
+        self._stream = self.dev.setupStream(rx, sp.SOAPY_SDR_CF32,
+                                            [channel])
+        self.dev.activateStream(self._stream)
+        self._closed = False
+
+    def read(self, n: int) -> Optional[np.ndarray]:
+        """Blocking read of up to ``n`` samples; returns what arrived
+        within ``timeout_s`` (None only when nothing did or after
+        close — the executor's end-of-stream signal)."""
+        if self._closed:
+            return None
+        sp = self._sp
+        buf = np.empty(n, np.complex64)
+        filled = 0
+        deadline = time.monotonic() + self.timeout_s
+        per_call_us = max(1000, int(min(self.timeout_s, 0.1) * 1e6))
+        while filled < n:
+            sr = self.dev.readStream(self._stream, [buf[filled:]],
+                                     n - filled, timeoutUs=per_call_us)
+            ret = int(sr.ret)
+            if ret > 0:
+                filled += ret
+            elif ret == getattr(sp, "SOAPY_SDR_OVERFLOW", _SOAPY_OVERFLOW):
+                # samples were dropped in the driver; keep streaming
+                self.overflows += 1
+            elif ret == getattr(sp, "SOAPY_SDR_TIMEOUT", _SOAPY_TIMEOUT) \
+                    or ret == 0:
+                if time.monotonic() >= deadline:
+                    break
+            else:
+                raise RuntimeError(f"SoapySDR readStream error {ret}: "
+                                   f"{_soapy_err_str(sp, ret)}")
+        if filled == 0:
+            return None
+        return buf[:filled].view(np.float32).reshape(-1, 2).copy()
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self.dev.deactivateStream(self._stream)
+            self.dev.closeStream(self._stream)
+
+
+class SoapyIQSink(IQSink):
+    """Real-hardware TX via SoapySDR — the reference's uhd_usrp_sink
+    seam (grc/ampsbs.grc:2246: the channelized wideband @880.59 MHz /
+    400 ksps).  Consumes riq float32 (n, 2) blocks; blocks on device
+    backpressure (the hardware pacing that makes the whole station run
+    at true real time)."""
+
+    def __init__(self, args: str = "", rate: float = 400e3,
+                 freq: float = 880.59e6, gain: float = 30.0,
+                 channel: int = 0, timeout_s: float = 5.0):
+        sp = _import_soapy()
+        self._sp = sp
+        self.timeout_s = timeout_s
+        self.underflows = 0
+        self.dev = sp.Device(args)
+        tx = sp.SOAPY_SDR_TX
+        self.dev.setSampleRate(tx, channel, rate)
+        self.dev.setFrequency(tx, channel, freq)
+        self.dev.setGain(tx, channel, gain)
+        self._stream = self.dev.setupStream(tx, sp.SOAPY_SDR_CF32,
+                                            [channel])
+        self.dev.activateStream(self._stream)
+        self._closed = False
+
+    def write(self, block: np.ndarray) -> None:
+        sp = self._sp
+        riq = np.ascontiguousarray(np.asarray(block, np.float32))
+        assert riq.ndim == 2 and riq.shape[1] == 2, riq.shape
+        cbuf = riq.view(np.complex64).reshape(-1)
+        off = 0
+        deadline = time.monotonic() + self.timeout_s
+        per_call_us = max(1000, int(min(self.timeout_s, 0.1) * 1e6))
+        while off < len(cbuf):
+            sr = self.dev.writeStream(self._stream, [cbuf[off:]],
+                                      len(cbuf) - off,
+                                      timeoutUs=per_call_us)
+            ret = int(sr.ret)
+            if ret > 0:
+                off += ret
+            elif ret == getattr(sp, "SOAPY_SDR_UNDERFLOW", _SOAPY_UNDERFLOW):
+                self.underflows += 1
+            elif ret == getattr(sp, "SOAPY_SDR_TIMEOUT", _SOAPY_TIMEOUT) \
+                    or ret == 0:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError("SoapySDR writeStream backpressure "
+                                       "timeout")
+            else:
+                raise RuntimeError(f"SoapySDR writeStream error {ret}: "
+                                   f"{_soapy_err_str(sp, ret)}")
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self.dev.deactivateStream(self._stream)
+            self.dev.closeStream(self._stream)
+
+
+def _soapy_err_str(sp, ret: int) -> str:
+    fn = getattr(sp, "errToStr", None)
+    return fn(ret) if fn else "unknown"
+
+
+def soapy_source(args: str = "", rate: float = 400e3,
+                 freq: float = 835.59e6, gain: float = 30.0,
+                 **kw) -> SoapyIQSource:
+    """Real-hardware source via SoapySDR, if the module is installed
+    (not baked into this image; external deployments install SoapySDR
+    and get the reference's USRP/HackRF coverage — README.md:87)."""
+    return SoapyIQSource(args, rate, freq, gain, **kw)
+
+
+def soapy_sink(args: str = "", rate: float = 400e3,
+               freq: float = 880.59e6, gain: float = 30.0,
+               **kw) -> SoapyIQSink:
+    """Real-hardware sink via SoapySDR (uhd_usrp_sink parity)."""
+    return SoapyIQSink(args, rate, freq, gain, **kw)
 
 
 def source_reader(src: IQSource, block_samples: int):
