@@ -118,6 +118,51 @@ def _throughput_batched(spec, g, n, iters=128):
     return g * n * iters / dt / 1e6
 
 
+def _closed_loop_guard(nblocks=32, frames=2, rounds=5):
+    """Closed-loop regression guard (VERDICT r4 item 3): same-process
+    INTERLEAVED A/B of the bench closed-loop config against the PINNED
+    known-good recipe (docs/PERF.md 'Closed-loop regression guard').
+    Chip throughput drifts 2-26% between sessions at identical code
+    (CLAUDE.md), so cross-round comparisons of the raw closed-loop
+    number are unanswerable — but drift cancels in a same-process
+    interleaved ratio, so `closed_loop_vs_pinned_ratio` moving outside
+    its documented band flags a REAL relative regression of the
+    current build.  Returns (current_msps, pinned_msps) medians."""
+    import jax.numpy as jnp
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.runtime.streamer import make_closed_loop_stream
+
+    # pinned recipe: the r3/r4 closed-loop configuration (f32 analysis
+    # transform).  Do not change it without re-baselining the band in
+    # docs/PERF.md — its stability across rounds is the whole point.
+    cur_spec = MultichannelSpec(num_channels=1024, taps_per_phase=8,
+                                fold="bank", io_bf16=True, corr_bf16=True,
+                                transform_bf16=True)
+    pin_spec = MultichannelSpec(num_channels=1024, taps_per_phase=8,
+                                fold="bank", io_bf16=True, corr_bf16=True,
+                                transform_bf16=False)
+    rng = np.random.default_rng(0)
+    wp = jnp.asarray(rng.integers(0, 2, (1024, frames, 2, 28))
+                     .astype(np.uint8))
+    runs = {}
+    for name, spec in (("current", cur_spec), ("pinned", pin_spec)):
+        run, block_samples = make_closed_loop_stream(spec, nblocks, frames)
+        _, q, _ = run(wp)
+        float(q)                      # compile + warm
+        runs[name] = (run, block_samples)
+    meas = {"current": [], "pinned": []}
+    for _ in range(rounds):
+        for name in ("current", "pinned"):     # A/B/A/B interleave
+            run, bs = runs[name]
+            t0 = time.perf_counter()
+            _, q, _ = run(wp)
+            float(q)
+            meas[name].append(nblocks * bs
+                              / (time.perf_counter() - t0) / 1e6)
+    return (float(np.median(meas["current"])),
+            float(np.median(meas["pinned"])))
+
+
 def _closed_loop_throughput(spec, nblocks=32, frames=2):
     """Sustained Msps of the fused TX->RF->RX closed loop: ONE jitted
     lax.scan over ``nblocks`` consecutive blocks with device-resident
@@ -185,11 +230,10 @@ def main():
                                              taps_per_phase=8))
 
     # sustained closed loop: 32 consecutive full-duplex blocks, one
-    # dispatch, device-resident state (VERDICT r1 item 5)
-    loop1024 = _closed_loop_throughput(
-        MultichannelSpec(num_channels=1024, taps_per_phase=8,
-                         fold="bank", io_bf16=True, corr_bf16=True,
-                         transform_bf16=True), nblocks=32, frames=2)
+    # dispatch, device-resident state (VERDICT r1 item 5) — measured
+    # INTERLEAVED against the pinned recipe so the ratio is drift-free
+    # (VERDICT r4 item 3; docs/PERF.md 'Closed-loop regression guard')
+    loop1024, loop_pinned = _closed_loop_guard(nblocks=32, frames=2)
 
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {
@@ -210,6 +254,8 @@ def main():
             "sustained_closed_loop_1024ch_msps": round(loop1024, 2),
             "closed_loop_realtime_factor": round(
                 loop1024 / realtime_rate, 2),
+            "closed_loop_pinned_msps": round(loop_pinned, 2),
+            "closed_loop_vs_pinned_ratio": round(loop1024 / loop_pinned, 3),
             "device": str(jax.devices()[0]),
         },
     }
