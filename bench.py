@@ -142,7 +142,8 @@ def _closed_loop_guard(nblocks=32, frames=2, rounds=5):
                                 fold="bank", io_bf16=True, corr_bf16=True,
                                 transform_bf16=False)
     rng = np.random.default_rng(0)
-    wp = jnp.asarray(rng.integers(0, 2, (1024, frames, 2, 28))
+    wp = jnp.asarray(rng.integers(0, 2,
+                                  (cur_spec.num_channels, frames, 2, 28))
                      .astype(np.uint8))
     runs = {}
     for name, spec in (("current", cur_spec), ("pinned", pin_spec)):
