@@ -62,12 +62,20 @@ def _dump(symbols, sps: int) -> np.ndarray:
 
 
 def decode_focc_stream(symbols, sps: int = 1,
-                       min_quality: float = 0.5) -> List[FoccFrame]:
-    """±1 FOCC samples -> decoded frames.
+                       min_quality: float = 0.5,
+                       return_consumed: bool = False):
+    """±1 FOCC samples -> decoded frames (List[FoccFrame]).
 
     Alignment folds the header correlation over the 926-symbol frame
     period (every frame carries the same dotting+wsync header), so one
     superframe of input aligns even at low SNR.
+
+    ``return_consumed``: also return the RAW-sample index just past the
+    last decoded frame (0 when nothing decoded), so streaming callers
+    can carry the undecoded tail into the next call — a frame
+    straddling a block boundary is otherwise silently dropped (found by
+    the 16-call soak: one mobile of sixteen missed its voice-channel
+    assignment that way, tools/soak_multicall16_cpu.out run 1).
     """
     # search the sample phase too (an RF demod feed has arbitrary
     # symbol timing; integrate-and-dump at each of the sps phases and
@@ -93,12 +101,12 @@ def decode_focc_stream(symbols, sps: int = 1,
         raw = float(folded[p]) / nfold
         q = raw / (nnz * amp)
         if best is None or raw > best[0]:
-            best = (raw, q, p, s_ph / amp)
+            best = (raw, q, p, s_ph / amp, ph)
     if best is None:
-        return []
-    _, quality, p, s = best
+        return ([], 0) if return_consumed else []
+    _, quality, p, s, ph = best
     if quality < min_quality:
-        return []
+        return ([], 0) if return_consumed else []
     out: List[FoccFrame] = []
     start = p
     while start + FRAME_SYMBOLS <= len(s):
@@ -117,6 +125,10 @@ def decode_focc_stream(symbols, sps: int = 1,
                              busy=bi.sum() * 2 < len(bi),
                              sync_quality=quality))
         start += FRAME_SYMBOLS
+    if return_consumed:
+        # dumped symbol j of phase ph covers raw [ph + j*sps, ph + (j+1)*sps)
+        consumed = (ph + start * sps) if out else 0
+        return out, consumed
     return out
 
 

@@ -22,7 +22,8 @@ import numpy as np
 
 from amps_tpu.config import SystemConfig
 from amps_tpu.control import fields
-from amps_tpu.ms.focc_rx import decode_focc_stream, parse_focc_word
+from amps_tpu.ms.focc_rx import (FRAME_SYMBOLS, decode_focc_stream,
+                                 parse_focc_word)
 from amps_tpu.ms.fvc_rx import decode_fvc_words
 from amps_tpu.tx import recc_ms
 
@@ -61,13 +62,28 @@ class SimMobile:
         self._pending_w1: Optional[dict] = None
         self._pending_access: Optional[Tuple[str, np.ndarray]] = None
         self._st_release_frames = 0     # pending release-ST frames to send
+        self._focc_tail = np.zeros(0, np.float32)  # block-boundary carry
         self._rvc_n = 0                 # RVC sample clock (tone continuity)
         self._rvc_phase = 0.0           # RVC FM phase carry
 
     # -- forward listening ---------------------------------------------------
 
     def hear_focc(self, symbols, sps: Optional[int] = None) -> None:
-        for fr in decode_focc_stream(symbols, sps or self.sps):
+        sps = sps or self.sps
+        # carry the undecoded tail across calls: a frame straddling the
+        # caller's block boundary would otherwise be dropped (~1 frame
+        # in 7 at typical app block sizes — one mobile of sixteen
+        # missed its voice assignment that way in the 16-call soak)
+        symbols = np.concatenate(
+            [self._focc_tail, np.asarray(symbols, np.float32)])
+        frames, consumed = decode_focc_stream(symbols, sps,
+                                              return_consumed=True)
+        # keep at most ~1.5 frames of residue (sync needs one whole
+        # frame + header; silence must not grow the tail unboundedly)
+        keep = (FRAME_SYMBOLS * 3 // 2) * 2 * sps
+        tail = symbols[consumed:] if consumed else symbols
+        self._focc_tail = tail[-keep:]
+        for fr in frames:
             self.recc_busy = fr.busy
             if fr.ok_a:
                 self._on_focc_word(parse_focc_word(fr.word_a))

@@ -67,7 +67,7 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool,
     mat_t = jnp.bfloat16 if bf16_mats else jnp.float32
     S = tile_h // sps
 
-    def kernel(x_hbm, coef_ref, ce_ref, se_ref, co_ref, so_ref, w_ref,
+    def kernel(x_hbm, coef_ref, ce_ref, se_ref, w_ref,
                out_ref, pow_ref, buf, dbuf, carry, sem):
         i = pl.program_id(0)
         nt = pl.num_programs(0) - 1        # data tiles (last program drains)
@@ -112,10 +112,23 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool,
                 return yr, yi               # (half, M) f32
 
             yrE, yiE = dots(fE[0], fE[1], ce_ref[:], se_ref[:])
-            yrO1, yiO1 = dots(fOl[0], fOl[1], co_ref[:P], so_ref[:P])
-            yrO2, yiO2 = dots(fOr[0], fOr[1], co_ref[P:], so_ref[P:])
-            yr = jnp.stack([yrE, yrO1 + yrO2], axis=1).reshape(tile_h, M)
-            yi = jnp.stack([yiE, yiO1 + yiO2], axis=1).reshape(tile_h, M)
+            # the odd-hop matrices are the even ones with alternating
+            # OUTPUT-channel signs (Co2f[q,k] = C2f[q,k]*(-1)^k — the
+            # (-1)^k hop-parity factor scales the k axis only), so the
+            # odd bank reuses ce/se and applies the sign row to the
+            # result: two fewer (M, M) resident matrices = -4 MB VMEM
+            # at M=1024, which is exactly the margin that put this
+            # kernel at Mosaic's 16 MB scoped-VMEM cliff
+            # (tools/profile_pl5.out: 16.97 MB, compile-scheduling-
+            # dependent OOM)
+            yrO1, yiO1 = dots(fOl[0], fOl[1], ce_ref[:P], se_ref[:P])
+            yrO2, yiO2 = dots(fOr[0], fOr[1], ce_ref[P:], se_ref[P:])
+            pk = 1.0 - 2.0 * (jax.lax.broadcasted_iota(
+                jnp.float32, (1, M), 1) % 2)
+            yr = jnp.stack([yrE, (yrO1 + yrO2) * pk],
+                           axis=1).reshape(tile_h, M)
+            yi = jnp.stack([yiE, (yiO1 + yiO2) * pk],
+                           axis=1).reshape(tile_h, M)
 
             prev_r = carry[0:1]
             prev_i = carry[1:2]
@@ -193,8 +206,9 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
     kernel, in_len = _make_kernel(M, T, sps, tile_h, bf16_mats, dm_t)
     coef = _fold_coef(M, T)
     mat_t = jnp.bfloat16 if bf16_mats else jnp.float32
+    # only the even-hop matrices are shipped: the odd bank derives from
+    # them in-kernel via the (-1)^k output-sign row (see kernel)
     Ce, Se = (jnp.asarray(a, mat_t) for a in _matrices(M, False))
-    Co, So = (jnp.asarray(a, mat_t) for a in _matrices(M, True))
     # W matches the demod buffer dtype: mixed-dtype dots would upcast
     # the whole (386, M) operand into a scoped f32 VMEM temp.
     W = jnp.asarray(_dump_selector(tile_h, sps), dm_t)
@@ -213,8 +227,6 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # coef
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Ce
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Se
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # Co
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # So
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dump selector
         ],
         out_specs=(
@@ -231,7 +243,7 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_pl, jnp.asarray(coef), Ce, Se, Co, So, W)
+    )(x_pl, jnp.asarray(coef), Ce, Se, W)
     nsym = (nh_real - sps + 1) // sps
     power = jnp.sqrt(
         jnp.sum(pow_part.reshape(nt + 1, 8, M)[:, 0, :], axis=0)

@@ -147,11 +147,15 @@ def rx_multichannel_block(x, spec: MultichannelSpec, max_bursts: int = 2,
         from amps_tpu import pallas as plk
         pallas_ok = plk.enabled()
     sps = spec.chan_sps
-    # v2 requires tile-aligned Nh (tile_h=384): the PADDED variant hits
-    # the 16 MB scoped-VMEM Mosaic compile OOM (tools/profile_pl5.out,
-    # ROADMAP item 4) and a failed remote Mosaic compile can wedge the
-    # chip — non-aligned shapes (e.g. the bench Nh=8192) take v1 below.
-    if pallas_ok and use_pallas != "v1" and sps == 3 and Nh % 384 == 0:
+    # v2 with use_pallas=True requires tile-aligned Nh (tile_h=384):
+    # the PADDED variant used to hit the 16 MB scoped-VMEM Mosaic
+    # compile OOM (tools/profile_pl5.out) and a failed remote Mosaic
+    # compile can wedge the chip, so non-aligned shapes take v1 below.
+    # The kernel has since shed 4 MB (odd-bank sign identity,
+    # rx_phases_kernel) — use_pallas="v2pad" opts non-aligned shapes
+    # (e.g. the bench Nh=8192, padded to 8448) into v2 explicitly.
+    if pallas_ok and use_pallas != "v1" and sps == 3 \
+            and (Nh % 384 == 0 or use_pallas == "v2pad"):
         # v2 fused front end (pallas/rx_phases_kernel.py): one kernel
         # from wideband IQ all the way to the integrate-and-dump phase
         # streams — neither the (2, M, Nh) analysis planes nor the

@@ -120,10 +120,13 @@ class ThreadedExecutor:
                 block = self._tx_step()
                 if block is None:
                     break
-                block = np.asarray(block)
+                # no np.asarray here: a device-resident block would be
+                # forced through a device->host transfer the sink may
+                # not need (device sinks / paced loopback keep blocks
+                # in HBM; file/SDR sinks coerce in their write())
                 self._tx_sink(block)
                 self.stats.tx_blocks += 1
-                self.stats.tx_samples += block.shape[0]
+                self.stats.tx_samples += int(np.shape(block)[0])
         except BaseException as e:  # surfaced on join()
             self._errors.append(e)
             self._stop.set()
@@ -136,7 +139,8 @@ class ThreadedExecutor:
                     break
                 self._rx_push(block)
                 self.stats.rx_blocks += 1
-                self.stats.rx_samples += np.asarray(block).shape[0]
+                # np.shape reads metadata only (no device->host copy)
+                self.stats.rx_samples += int(np.shape(block)[0])
         except BaseException as e:
             self._errors.append(e)
             self._stop.set()

@@ -43,6 +43,58 @@ def decode_dcc(bits7) -> int:
     return int(np.argmin(np.abs(_DCC_CODES - b).sum(axis=1)))
 
 
+@functools.partial(jax.jit, static_argnames=("R",))
+def _compact_reports(starts, valid, quality, words, ok, bad, dccs, rssi,
+                     R: int):
+    """Device-side report compaction: select the top-R candidate slots
+    (valid first, then by trigger quality) and gather their report
+    fields, so the host fetches O(R) bytes instead of the whole
+    (M, K, ...) report planes.
+
+    At M=1024/K=4 the full planes are ~1.2 MB/block — ~150 ms over this
+    dev harness's ~8 MB/s tunnel, which capped the paced real-time RX
+    at ~6 blocks/s (tools/realtime_pace_tpu.out, first run).  Real
+    deployments (PCIe-attached chips) also win: the report fetch is the
+    only per-block device->host transfer on the RX hot path, and bursts
+    are sparse (the reference handles ONE burst at a time,
+    lib/recc_decode_impl.cc).  Exact whenever n_valid <= R; overflow is
+    reported via the returned n_valid so the caller can count it.
+
+    Returns TWO arrays (one fetch each — on the tunneled dev chip every
+    fetched array costs a ~4-5 ms round trip, so the report fetch is
+    packed into the minimum transfer count):
+      meta:    f32 (R, 6)  [flat_idx, valid, start, quality, rssi,
+                            n_valid] — all integer payloads < 2^24, so
+                            f32 carries them exactly;
+      payload: u8 (R, 274) [words(252) | ok(7) | bad(8) | dccs(7)] —
+                            bad-pair counts are <= 240, u8-exact.
+    flat_idx is the c*K+k slot index (host iterates in ascending idx
+    order to reproduce the uncompacted (c, k) report order exactly)."""
+    M, K = valid.shape
+    prio = jnp.where(valid, 1.0 + quality.astype(jnp.float32), 0.0)
+    vals, idx = jax.lax.top_k(prio.reshape(-1), R)
+
+    def sel(a):
+        return a.reshape((M * K,) + a.shape[2:])[idx]
+
+    meta = jnp.stack([
+        idx.astype(jnp.float32),
+        (vals > 0.0).astype(jnp.float32),
+        sel(starts).astype(jnp.float32),
+        sel(quality).astype(jnp.float32),
+        sel(rssi).astype(jnp.float32),
+        jnp.broadcast_to(jnp.sum(valid.astype(jnp.int32)),
+                         (R,)).astype(jnp.float32),
+    ], axis=1)
+    payload = jnp.concatenate([
+        sel(words).reshape(R, -1).astype(jnp.uint8),
+        sel(ok).reshape(R, -1).astype(jnp.uint8),
+        sel(bad).reshape(R, -1).astype(jnp.uint8),
+        sel(dccs).reshape(R, -1).astype(jnp.uint8),
+    ], axis=1)
+    return meta, payload
+
+
 # hop_parity is STATIC: production blocks are whole-hop and even-hop
 # (the CLAUDE.md block-length invariant), so parity is 0 forever and a
 # constant parity constant-folds the (Nh, M) (-1)^{kn} sign plane into
@@ -306,7 +358,8 @@ class MultichannelReceiver:
                  min_rssi: float = 0.0,
                  require_word_a: bool = True,
                  supervision_slots: tuple = (),
-                 on_supervision: Optional[Callable] = None):
+                 on_supervision: Optional[Callable] = None,
+                 max_reports: int = 64):
         """``tap_demod_path``: append raw per-channel FM-demod float32
         blocks to this file — the debug-tap role of the reference's
         /tmp/recc.syms file sink (grc/recctest.grc) and AMPS_DEBUG
@@ -355,6 +408,10 @@ class MultichannelReceiver:
         self.threshold = threshold
         self.min_rssi = min_rssi
         self.require_word_a = require_word_a
+        # device-side report compaction width (see _compact_reports):
+        # the host fetches at most this many candidate slots per block
+        self.max_reports = min(max_reports, M * max_bursts)
+        self.report_overflows = 0
         self.policy = policy
         self.on_burst = on_burst
         # overlap: a burst (trigger + capture) must fit in carry so one
@@ -411,12 +468,16 @@ class MultichannelReceiver:
             trig_gate=self.spec.max_trigger_errors,
             hop_parity=self._parity)
         dec = decoder.decode_bursts(hard, policy=self.policy, repeat_gate=self.spec.decode_repeat_gate)
+        # compact the (M, K, ...) report planes to the top-R candidates
+        # ON DEVICE (the host fetch is the RX hot path's only
+        # device->host transfer; see _compact_reports)
+        comp = _compact_reports(starts, valid, quality, dec.words,
+                                dec.word_ok, dec.bad_symbols,
+                                dec.dcc_bits, rssi, self.max_reports)
         # enqueue DEVICE arrays only — no host sync here; the sync
         # happens when the entry is drained, depth-1 blocks later
-        self._inflight.append(dict(
-            starts=starts, valid=valid, quality=quality, dec=dec,
-            power=chan_power, rssi=rssi, demod=demod,
-            abs_base=self._abs_base))
+        self._inflight.append(dict(comp=comp, demod=demod,
+                                   abs_base=self._abs_base))
         self._parity = (self._parity + int(x.shape[0]) // (self.M // 2)) % 2
         self._abs_base += x.shape[0] // (self.M // 2)
         out: List[BurstReport] = []
@@ -447,11 +508,16 @@ class MultichannelReceiver:
         # block delivered NO supervision frames — delivering them
         # before a fetch that then raises would double-deliver on
         # replay (r4 review finding)
-        (starts, valid, quality, words, ok, bad, dccs, rssi_pb) = \
-            jax.device_get((e["starts"], e["valid"], e["quality"],
-                            e["dec"].words, e["dec"].word_ok,
-                            e["dec"].bad_symbols,
-                            e["dec"].dcc_bits, e["rssi"]))
+        meta, payload = jax.device_get(e["comp"])
+        idx = meta[:, 0].astype(np.int64)
+        cvalid = meta[:, 1] > 0.5
+        starts = meta[:, 2].astype(np.int64)
+        quality, rssi_pb, n_valid = meta[:, 3], meta[:, 4], meta[0, 5]
+        R = len(idx)
+        words = payload[:, :252].reshape(R, 7, 36)
+        ok = payload[:, 252:259] > 0
+        bad = payload[:, 259:267]
+        dccs = payload[:, 267:274]
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
         if self.supervision_slots and e["demod"] is not None:
@@ -483,37 +549,46 @@ class MultichannelReceiver:
         # batched, tools/stream_rate_tpu.out)
         quality = np.asarray(quality, np.float32)
         rssi_pb = np.asarray(rssi_pb, np.float32)
+        if int(n_valid) > len(idx):
+            # more candidates than max_reports: the top-by-quality R
+            # were delivered, the rest dropped — count it so soaks and
+            # deployments can size max_reports (never observed outside
+            # synthetic overload; the reference handles one burst at a
+            # time total)
+            self.report_overflows += 1
         out = []
-        for c in range(self.M):
-            for k in range(starts.shape[1]):
-                if not valid[c, k]:
-                    continue
-                # per-burst rssi: measured over THIS candidate's own
-                # capture extent on device (correlator.burst_rssi), so
-                # carry-region bursts are judged on their own samples
-                # and an idle-channel ghost cannot ride a louder
-                # neighbor burst's block power
-                rssi = float(rssi_pb[c, k])
-                if rssi < self.min_rssi:
-                    continue
-                # invalid Word A: nothing dispatchable in this burst
-                # (lib/recc_decode_impl.cc:107-110 returns here)
-                if self.require_word_a and not ok[c, k, 0]:
-                    continue
-                abs_sample = e["abs_base"] + int(starts[c, k])
-                # dedup: same burst found again in the overlap region
-                if abs(abs_sample - self._last_seen[c]) < \
-                        correlator.CAPTURE_SYMBOLS * self.sps // 2:
-                    continue
-                self._last_seen[c] = abs_sample
-                rep = BurstReport(c, abs_sample // self.sps,
-                                  float(quality[c, k]),
-                                  words[c, k], ok[c, k], bad[c, k],
-                                  rssi=rssi,
-                                  dcc=decode_dcc(dccs[c, k]))
-                out.append(rep)
-                if self.on_burst:
-                    self.on_burst(rep)
+        # ascending flat (c*K+k) index == the uncompacted (c, k) loop
+        # order, so delivery order and dedup retention are unchanged
+        for r in np.argsort(idx, kind="stable"):
+            if not cvalid[r]:
+                continue
+            c = int(idx[r]) // self.max_bursts
+            # per-burst rssi: measured over THIS candidate's own
+            # capture extent on device (correlator.burst_rssi), so
+            # carry-region bursts are judged on their own samples
+            # and an idle-channel ghost cannot ride a louder
+            # neighbor burst's block power
+            rssi = float(rssi_pb[r])
+            if rssi < self.min_rssi:
+                continue
+            # invalid Word A: nothing dispatchable in this burst
+            # (lib/recc_decode_impl.cc:107-110 returns here)
+            if self.require_word_a and not ok[r, 0]:
+                continue
+            abs_sample = e["abs_base"] + int(starts[r])
+            # dedup: same burst found again in the overlap region
+            if abs(abs_sample - self._last_seen[c]) < \
+                    correlator.CAPTURE_SYMBOLS * self.sps // 2:
+                continue
+            self._last_seen[c] = abs_sample
+            rep = BurstReport(c, abs_sample // self.sps,
+                              float(quality[r]),
+                              words[r], ok[r], bad[r],
+                              rssi=rssi,
+                              dcc=decode_dcc(dccs[r]))
+            out.append(rep)
+            if self.on_burst:
+                self.on_burst(rep)
         self.reports.extend(out)
         return out
 

@@ -44,6 +44,7 @@ def build_parser():
                         "registration:MIN[:ESN] (slot 3 of the reverse "
                         "band).  Mesh mode — a LIVE scripted mobile: "
                         "mobile:MIN (answers a page, hangs up) | "
+                        "mobile:MIN:hangup:N (paged; talks N blocks) | "
                         "mobile:MIN:originate:DIGITS[:BLOCK[:HANGUP_"
                         "AFTER]] | mobile:MIN:register[:BLOCK]; repeat "
                         "for concurrent calls")
@@ -120,15 +121,22 @@ def _run_mesh(args, result: dict | None = None):
     assert len(devs) >= T * C, \
         f"mesh {T}x{C} needs {T * C} devices, have {len(devs)}"
     mesh = make_mesh(MeshSpec(time=T, chan=C), devs[:T * C])
-    system = SystemConfig(
-        aggressive_registration=args.aggressive_registration)
     spec = MultichannelSpec(num_channels=args.channels)
     M, Phop, SPS = args.channels, args.channels // 2, spec.chan_sps
     # with mapped voice slots the station runs per-channel FVC streams:
     # alerts/releases/designations ride each call's own forward voice
     # channel (the reference's mute-pair arrangement, scaled to
-    # concurrent calls)
+    # concurrent calls) — and the voice-channel PLAN is the mapped
+    # channels themselves, so capacity scales with the map (a 16-entry
+    # map serves 16 concurrent calls; the reference hardcodes two
+    # channels, lib/recc_decode_impl.cc:205,252)
     per_chan = bool(args.voice_slot_map)
+    mapped_chans = tuple(sorted(
+        int(pair.split(":")[0])
+        for pair in filter(None, args.voice_slot_map.split(","))))
+    system = SystemConfig(
+        aggressive_registration=args.aggressive_registration,
+        **({"voice_channels": mapped_chans} if per_chan else {}))
     station = BaseStation(system, sps=SPS, per_channel_fvc=per_chan)
     if args.sup_timers:
         fade_s, st_s = (float(v) for v in args.sup_timers.split(":"))
@@ -260,8 +268,13 @@ def _run_mesh(args, result: dict | None = None):
                     # the scheduled block and register() drops the
                     # access silently ('register_blocked')
                     m.register()
-                hang_after = (int(action[3])
-                              if action and len(action) > 3 else 3)
+                # paged mobiles take 'hangup:<N>' to script a longer
+                # conversation (concurrency soaks overlap many calls)
+                hang_after = 3
+                if action and action[0] == "originate" and len(action) > 3:
+                    hang_after = int(action[3])
+                elif action and action[0] == "hangup":
+                    hang_after = int(action[1])
                 if m.state == "ringing":
                     ms["ring"] += 1
                     if ms["ring"] >= 2:

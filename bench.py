@@ -186,6 +186,22 @@ def _closed_loop_throughput(spec, nblocks=32, frames=2):
     return nblocks * block_samples / dt / 1e6
 
 
+def _paced_realtime(seconds=20):
+    """Short wall-clock pacing leg (VERDICT r4 item 2): the 1024-ch
+    receiver under true 30.72 Msps arrival pacing via the executor;
+    the full >= 60 s artifact is tools/realtime_pace_tpu.out."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "realtime_pace_tpu", "/root/repo/tools/realtime_pace_tpu.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.leg_rx(seconds=seconds)
+    return {k: res[k] for k in
+            ("blocks", "block_dt_ms", "latency_ms", "deadline_misses",
+             "underruns_1_block_buffer", "rt_headroom_p99",
+             "exactly_once_per_period")}
+
+
 def main():
     # the axon chip wedges for minutes-to-hours after any client crash;
     # patiently wait (never kill a blocked prober — that re-wedges it)
@@ -236,6 +252,11 @@ def main():
     # (VERDICT r4 item 3; docs/PERF.md 'Closed-loop regression guard')
     loop1024, loop_pinned = _closed_loop_guard(nblocks=32, frames=2)
 
+    try:
+        paced = _paced_realtime(seconds=20)
+    except Exception as e:  # pacing must never sink the bench line
+        paced = {"error": repr(e)[:200]}
+
     realtime_rate = 1024 * 0.03  # Msps for a 1024-ch wideband
     result = {
         "metric": "IQ Msamples/s/chip (1024-ch channelize+RECC demod+decode)",
@@ -257,6 +278,7 @@ def main():
                 loop1024 / realtime_rate, 2),
             "closed_loop_pinned_msps": round(loop_pinned, 2),
             "closed_loop_vs_pinned_ratio": round(loop1024 / loop_pinned, 3),
+            "realtime_pacing_20s": paced,
             "device": str(jax.devices()[0]),
         },
     }

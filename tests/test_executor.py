@@ -100,3 +100,24 @@ def test_block_queue_backpressure_and_close():
     assert not t.is_alive()
     assert got[0] is not None and got[1] is not None
     assert q.get() is None
+
+
+def test_executor_passes_blocks_through_without_copy():
+    """Paced/real-time deployments keep blocks device-resident; the
+    executor must hand the EXACT object to the sink/push (no np.asarray
+    coercion — that would force a device->host transfer per block) and
+    count samples from shape metadata only."""
+    from amps_tpu.runtime.executor import ThreadedExecutor
+
+    blocks = [np.zeros((64, 2), np.float32) for _ in range(3)]
+    it = iter(blocks)
+    seen_tx, seen_rx = [], []
+    ex = ThreadedExecutor(
+        tx_step=lambda: next(it, None),
+        tx_sink=seen_tx.append,
+        rx_source=lambda: blocks[len(seen_rx)] if len(seen_rx) < 3 else None,
+        rx_push=seen_rx.append).start()
+    stats = ex.join(timeout=30)
+    assert all(a is b for a, b in zip(seen_tx, blocks))
+    assert all(a is b for a, b in zip(seen_rx, blocks))
+    assert stats.tx_samples == stats.rx_samples == 3 * 64

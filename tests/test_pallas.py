@@ -146,3 +146,55 @@ def test_rx_block_pallas_v2_interpret_matches_xla_decode():
     assert np.array_equal(got["word_ok"][3][0], ref["word_ok"][3][0])
     want = np.stack(events[0].words())
     assert np.array_equal(np.asarray(got["words"][3][0])[: len(want)], want)
+
+
+def test_rx_block_pallas_v2pad_interpret_matches_xla_decode():
+    """use_pallas="v2pad": a NON-tile-aligned block (the bench shape
+    family) routes through the v2 phases kernel with zero-padding to
+    the next 384-hop tile; decode must match the XLA path bit-exactly.
+    (The padded variant used to be gated off by the 16 MB scoped-VMEM
+    Mosaic OOM; the odd-bank sign identity shed 4 MB — this pins the
+    numerics of the re-enabled path.)"""
+    import jax
+    from unittest import mock
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import (MultichannelSpec,
+                                            rx_multichannel_block)
+    from amps_tpu import pallas as plk
+    import amps_tpu.pallas.rx_phases_kernel as phk
+
+    spec = MultichannelSpec(num_channels=256, taps_per_phase=8)
+    total_hops = 13824 + 128              # NOT a multiple of 384
+    assert total_hops % 384 and total_hops % 128 == 0
+    events = [MobileEvent("origination", 3, 700, "5551234567",
+                          "7025551000", esn=99),
+              # near the padded tail: the capture clamp must keep the
+              # zero-padding out of the decode
+              MobileEvent("page_response", 7, total_hops - 11000,
+                          "4155559876")]
+    x = synthesize_reverse_band(events, spec, total_hops,
+                                noise_sigma=0.001)
+
+    ref = jax.device_get(rx_multichannel_block(
+        jnp.asarray(x), spec, max_bursts=1, threshold=0.55))
+
+    orig = phk.analyze_phases_pallas
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    with mock.patch.object(plk, "enabled", lambda: True), \
+         mock.patch.object(phk, "analyze_phases_pallas", interp):
+        got = jax.device_get(rx_multichannel_block(
+            jnp.asarray(x), spec, max_bursts=1, threshold=0.55,
+            use_pallas="v2pad"))
+
+    for ev in events:
+        c = ev.channel
+        assert ref["valid"][c][0] and got["valid"][c][0]
+        assert np.array_equal(got["words"][c][0], ref["words"][c][0])
+        assert np.array_equal(got["word_ok"][c][0], ref["word_ok"][c][0])
+        want = np.stack(ev.words())
+        assert np.array_equal(np.asarray(got["words"][c][0])[: len(want)],
+                              want)

@@ -577,3 +577,29 @@ def test_no_notimplementederror_left_in_product_code():
     allowed = {o for o in offenders if o.startswith("amps_tpu/runtime/sdr.py")}
     assert len(allowed) == 2, (offenders, allowed)
     assert offenders == sorted(allowed, key=offenders.index), offenders
+
+
+def test_report_compaction_overflow_counts_and_keeps_best():
+    """Device-side report compaction (_compact_reports): with
+    max_reports=1 and two simultaneous bursts, the top-quality one is
+    delivered and the overflow is counted; at the default width both
+    come through identically to the planted words."""
+    wa = recc_ms.page_response_words("5551234567")
+    wb = recc_ms.page_response_words("4155559876")
+    x = _reverse_wideband({2: wa, 5: wb}, 40000)
+
+    rx = MultichannelReceiver(SPEC, threshold=0.5)
+    full = rx.push(x) + rx.flush()
+    assert len(full) == 2 and rx.report_overflows == 0
+    assert {r.channel for r in full} == {2, 5}
+    for r in full:
+        want = np.stack(wa if r.channel == 2 else wb)
+        assert np.array_equal(r.words[: len(want)], want)
+
+    rx1 = MultichannelReceiver(SPEC, threshold=0.5, max_reports=1)
+    got = rx1.push(x) + rx1.flush()
+    assert len(got) == 1
+    assert rx1.report_overflows >= 1
+    best = max(full, key=lambda r: r.quality)
+    assert got[0].channel == best.channel
+    assert np.array_equal(got[0].words, best.words)
