@@ -123,8 +123,10 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool,
             # dependent OOM)
             yrO1, yiO1 = dots(fOl[0], fOl[1], ce_ref[:P], se_ref[:P])
             yrO2, yiO2 = dots(fOr[0], fOr[1], ce_ref[P:], se_ref[P:])
-            pk = 1.0 - 2.0 * (jax.lax.broadcasted_iota(
-                jnp.float32, (1, M), 1) % 2)
+            # integer iota then cast: Mosaic's tpu.iota verifier rejects
+            # float results (tools/profile_pl7.out run 1)
+            pk = (1 - 2 * (jax.lax.broadcasted_iota(
+                jnp.int32, (1, M), 1) % 2)).astype(jnp.float32)
             yr = jnp.stack([yrE, (yrO1 + yrO2) * pk],
                            axis=1).reshape(tile_h, M)
             yi = jnp.stack([yiE, (yiO1 + yiO2) * pk],

@@ -474,9 +474,19 @@ class MultichannelReceiver:
         comp = _compact_reports(starts, valid, quality, dec.words,
                                 dec.word_ok, dec.bad_symbols,
                                 dec.dcc_bits, rssi, self.max_reports)
+        # supervision slots are sliced out ON DEVICE: fetching the whole
+        # (M, Nh) demod plane to slice a few rows cost 33.5 MB (~4 s on
+        # the tunneled dev chip) per block at M=1024 (found by the
+        # 16-call soak); the sliced rows are ~0.5 MB
+        sup_dem = (jnp.asarray(demod)[
+            jnp.asarray(self.supervision_slots, jnp.int32)]
+            if self.supervision_slots and demod is not None else None)
         # enqueue DEVICE arrays only — no host sync here; the sync
         # happens when the entry is drained, depth-1 blocks later
-        self._inflight.append(dict(comp=comp, demod=demod,
+        self._inflight.append(dict(comp=comp,
+                                   demod=demod if self._tap is not None
+                                   else None,
+                                   sup_dem=sup_dem,
                                    abs_base=self._abs_base))
         self._parity = (self._parity + int(x.shape[0]) // (self.M // 2)) % 2
         self._abs_base += x.shape[0] // (self.M // 2)
@@ -520,16 +530,16 @@ class MultichannelReceiver:
         dccs = payload[:, 267:274]
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
-        if self.supervision_slots and e["demod"] is not None:
+        if self.supervision_slots and e["sup_dem"] is not None:
             from amps_tpu.rx.voice import supervision_levels
             fs = float(self.spec.pipe.chan_rate)
             frame = int(fs * 0.01)                       # 10 ms frames
-            # e["demod"] is demod_new: NEW samples only, contiguous
-            # and non-overlapping across blocks (the debug tap writes it
-            # back to back) — prepend the previous block's sub-frame
-            # leftover so measurement frames are continuous across blocks
-            dem = np.asarray(e["demod"], np.float32)[
-                np.asarray(self.supervision_slots, np.int32)]
+            # sup_dem is the device-sliced supervision rows of
+            # demod_new: NEW samples only, contiguous and
+            # non-overlapping across blocks — prepend the previous
+            # block's sub-frame leftover so measurement frames are
+            # continuous across blocks
+            dem = np.asarray(jax.device_get(e["sup_dem"]), np.float32)
             dem = np.concatenate([self._sup_carry, dem], axis=-1)
             nf = dem.shape[-1] // frame
             self._sup_carry = dem[:, nf * frame:]
