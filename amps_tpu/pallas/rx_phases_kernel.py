@@ -67,7 +67,7 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool,
     mat_t = jnp.bfloat16 if bf16_mats else jnp.float32
     S = tile_h // sps
 
-    def kernel(x_hbm, coef_ref, ce_ref, se_ref, w_ref,
+    def kernel(x_hbm, coef_ref, ce_ref, se_ref, pk_ref, w_ref,
                out_ref, pow_ref, buf, dbuf, carry, sem):
         i = pl.program_id(0)
         nt = pl.num_programs(0) - 1        # data tiles (last program drains)
@@ -123,10 +123,11 @@ def _make_kernel(M: int, T: int, sps: int, tile_h: int, bf16_mats: bool,
             # dependent OOM)
             yrO1, yiO1 = dots(fOl[0], fOl[1], ce_ref[:P], se_ref[:P])
             yrO2, yiO2 = dots(fOr[0], fOr[1], ce_ref[P:], se_ref[P:])
-            # integer iota then cast: Mosaic's tpu.iota verifier rejects
-            # float results (tools/profile_pl7.out run 1)
-            pk = (1 - 2 * (jax.lax.broadcasted_iota(
-                jnp.int32, (1, M), 1) % 2)).astype(jnp.float32)
+            # pk rides in as a tiny (8, M) VMEM input: in-kernel iota
+            # generation tripped Mosaic twice (float tpu.iota verifier,
+            # then a helper crash on the int variant —
+            # tools/profile_pl7.out runs 1-2)
+            pk = pk_ref[0:1]
             yr = jnp.stack([yrE, (yrO1 + yrO2) * pk],
                            axis=1).reshape(tile_h, M)
             yi = jnp.stack([yiE, (yiO1 + yiO2) * pk],
@@ -229,6 +230,7 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # coef
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Ce
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Se
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pk odd-bank signs
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dump selector
         ],
         out_specs=(
@@ -245,7 +247,10 @@ def analyze_phases_pallas(x_ext, M: int, T: int, sps: int = 3,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_pl, jnp.asarray(coef), Ce, Se, W)
+    )(x_pl, jnp.asarray(coef), Ce, Se,
+      jnp.broadcast_to(jnp.asarray(1.0 - 2.0 * (np.arange(M) % 2),
+                                   jnp.float32), (8, M)),
+      W)
     nsym = (nh_real - sps + 1) // sps
     power = jnp.sqrt(
         jnp.sum(pow_part.reshape(nt + 1, 8, M)[:, 0, :], axis=0)
