@@ -78,8 +78,11 @@ class SimMobile:
             [self._focc_tail, np.asarray(symbols, np.float32)])
         frames, consumed = decode_focc_stream(symbols, sps,
                                               return_consumed=True)
-        # keep at most ~1.5 frames of residue (sync needs one whole
-        # frame + header; silence must not grow the tail unboundedly)
+        # keep at most ~3 frames of raw residue (FRAME_SYMBOLS is
+        # Manchester symbols and a frame spans FRAME_SYMBOLS*sps raw
+        # samples, so this is 3 whole frames: enough for a straddling
+        # frame's head PLUS one full frame for the header-fold
+        # alignment; silence must not grow the tail unboundedly)
         keep = (FRAME_SYMBOLS * 3 // 2) * 2 * sps
         tail = symbols[consumed:] if consumed else symbols
         self._focc_tail = tail[-keep:]

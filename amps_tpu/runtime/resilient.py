@@ -177,8 +177,16 @@ class ResilientReceiver:
         if cb_errors:
             # user-callback failure: the push itself succeeded (state
             # advanced, reports delivered) — surface the error without
-            # having triggered a rebuild (module invariant)
-            raise cb_errors[0]
+            # having triggered a rebuild (module invariant).  The
+            # block's burst reports are ATTACHED to the exception
+            # (``burst_reports``): they are marked in _delivered, so a
+            # return-value consumer that only catches the error would
+            # otherwise lose them unrecoverably (positional dedup
+            # suppresses any re-push); on_burst consumers already
+            # received them during delivery.
+            err = cb_errors[0]
+            err.burst_reports = out
+            raise err
         return out
 
     def flush(self) -> List[BurstReport]:

@@ -133,11 +133,13 @@ def _import_soapy():
     return SoapySDR
 
 
-# SoapySDR.h error codes (fixed by the Soapy ABI; read from the module
-# when present so a fake/test module can override)
+# SoapySDR.h Errors.h codes (fixed by the Soapy ABI; read from the
+# module when present so a fake/test module can override).  NOTE the
+# real ABI: TIMEOUT=-1, STREAM_ERROR=-2, CORRUPTION=-3, OVERFLOW=-4,
+# NOT_SUPPORTED=-5, TIME_ERROR=-6, UNDERFLOW=-7.
 _SOAPY_TIMEOUT = -1
-_SOAPY_OVERFLOW = -2
-_SOAPY_UNDERFLOW = -4
+_SOAPY_OVERFLOW = -4
+_SOAPY_UNDERFLOW = -7
 
 
 class SoapyIQSource(IQSource):
@@ -186,8 +188,13 @@ class SoapyIQSource(IQSource):
             if ret > 0:
                 filled += ret
             elif ret == getattr(sp, "SOAPY_SDR_OVERFLOW", _SOAPY_OVERFLOW):
-                # samples were dropped in the driver; keep streaming
+                # samples were dropped in the driver; keep streaming —
+                # but still honor the deadline (a stalled driver can
+                # return OVERFLOW forever; read() must return within
+                # timeout_s regardless)
                 self.overflows += 1
+                if time.monotonic() >= deadline:
+                    break
             elif ret == getattr(sp, "SOAPY_SDR_TIMEOUT", _SOAPY_TIMEOUT) \
                     or ret == 0:
                 if time.monotonic() >= deadline:
@@ -245,6 +252,11 @@ class SoapyIQSink(IQSink):
             ret = int(sr.ret)
             if ret > 0:
                 off += ret
+                # progress re-arms the deadline: a block longer than
+                # timeout_s of samples is LEGITIMATELY paced by the
+                # device for longer than timeout_s total — only a stall
+                # with no progress for timeout_s is a backpressure fault
+                deadline = time.monotonic() + self.timeout_s
             elif ret == getattr(sp, "SOAPY_SDR_UNDERFLOW", _SOAPY_UNDERFLOW):
                 self.underflows += 1
             elif ret == getattr(sp, "SOAPY_SDR_TIMEOUT", _SOAPY_TIMEOUT) \

@@ -43,13 +43,21 @@ def decode_dcc(bits7) -> int:
     return int(np.argmin(np.abs(_DCC_CODES - b).sum(axis=1)))
 
 
-@functools.partial(jax.jit, static_argnames=("R",))
+@functools.partial(jax.jit, static_argnames=("R", "require_word_a"))
 def _compact_reports(starts, valid, quality, words, ok, bad, dccs, rssi,
-                     R: int):
+                     min_rssi, R: int, require_word_a: bool):
     """Device-side report compaction: select the top-R candidate slots
-    (valid first, then by trigger quality) and gather their report
+    (deliverable first, then by trigger quality) and gather their report
     fields, so the host fetches O(R) bytes instead of the whole
     (M, K, ...) report planes.
+
+    'Deliverable' mirrors the host gates (min_rssi, require_word_a)
+    EXACTLY, on the same f32 values the host would compare: a
+    burst-heavy block in the bf16 FM-capture ghost regime (CLAUDE.md)
+    can hold >R valid candidates where high-quality ghosts — which the
+    host rssi/word-A gates would discard anyway — would otherwise evict
+    a genuine weak burst from the top-R slots on device.  n_valid (and
+    so report_overflows) counts only gate-passing candidates.
 
     At M=1024/K=4 the full planes are ~1.2 MB/block — ~150 ms over this
     dev harness's ~8 MB/s tunnel, which capped the paced real-time RX
@@ -71,7 +79,11 @@ def _compact_reports(starts, valid, quality, words, ok, bad, dccs, rssi,
     flat_idx is the c*K+k slot index (host iterates in ascending idx
     order to reproduce the uncompacted (c, k) report order exactly)."""
     M, K = valid.shape
-    prio = jnp.where(valid, 1.0 + quality.astype(jnp.float32), 0.0)
+    deliverable = valid & (rssi.astype(jnp.float32) >=
+                           jnp.float32(min_rssi))
+    if require_word_a:
+        deliverable = deliverable & ok[..., 0].astype(bool)
+    prio = jnp.where(deliverable, 1.0 + quality.astype(jnp.float32), 0.0)
     vals, idx = jax.lax.top_k(prio.reshape(-1), R)
 
     def sel(a):
@@ -83,7 +95,7 @@ def _compact_reports(starts, valid, quality, words, ok, bad, dccs, rssi,
         sel(starts).astype(jnp.float32),
         sel(quality).astype(jnp.float32),
         sel(rssi).astype(jnp.float32),
-        jnp.broadcast_to(jnp.sum(valid.astype(jnp.int32)),
+        jnp.broadcast_to(jnp.sum(deliverable.astype(jnp.int32)),
                          (R,)).astype(jnp.float32),
     ], axis=1)
     payload = jnp.concatenate([
@@ -473,7 +485,9 @@ class MultichannelReceiver:
         # device->host transfer; see _compact_reports)
         comp = _compact_reports(starts, valid, quality, dec.words,
                                 dec.word_ok, dec.bad_symbols,
-                                dec.dcc_bits, rssi, self.max_reports)
+                                dec.dcc_bits, rssi,
+                                np.float32(self.min_rssi),
+                                self.max_reports, self.require_word_a)
         # supervision slots are sliced out ON DEVICE: fetching the whole
         # (M, Nh) demod plane to slice a few rows cost 33.5 MB (~4 s on
         # the tunneled dev chip) per block at M=1024 (found by the

@@ -357,14 +357,22 @@ def main(argv=None, _result: dict | None = None):
     from amps_tpu.tx import recc_ms
     from amps_tpu.utils.profiling import meter
 
-    system = SystemConfig(
-        aggressive_registration=args.aggressive_registration)
     spec = MultichannelSpec(num_channels=args.channels)
     # mapped voice slots get per-channel FVC streams + blank-and-burst
     # sources, exactly like mesh mode (independent concurrent-call
     # signaling); without a map the station keeps the reference's
-    # single shared fvc block
+    # single shared fvc block.  As in _run_mesh, the voice-channel PLAN
+    # is the mapped channels themselves — assigning a channel with no
+    # mapped bank slot would leave its per-channel FVC stream unpulled
+    # (the alert never transmits, and the release-pending withholding
+    # would then leak the channel from the pool forever)
     per_chan = bool(args.voice_slot_map)
+    mapped_chans = tuple(sorted(
+        int(pair.split(":")[0])
+        for pair in filter(None, args.voice_slot_map.split(","))))
+    system = SystemConfig(
+        aggressive_registration=args.aggressive_registration,
+        **({"voice_channels": mapped_chans} if per_chan else {}))
     station = BaseStation(system, sps=spec.chan_sps,
                           per_channel_fvc=per_chan)
     tx = MultichannelTransmitter(spec, system,

@@ -164,28 +164,6 @@ def _closed_loop_guard(nblocks=32, frames=2, rounds=5):
             float(np.median(meas["pinned"])))
 
 
-def _closed_loop_throughput(spec, nblocks=32, frames=2):
-    """Sustained Msps of the fused TX->RF->RX closed loop: ONE jitted
-    lax.scan over ``nblocks`` consecutive blocks with device-resident
-    state — the number cannot depend on host-tunnel bandwidth (the
-    block-shot numbers above amortize dispatch over an async queue;
-    this one has a single dispatch for the whole stream)."""
-    import jax.numpy as jnp
-    from amps_tpu.runtime.streamer import make_closed_loop_stream
-
-    rng = np.random.default_rng(0)
-    M = spec.num_channels
-    wp = jnp.asarray(rng.integers(0, 2, (M, frames, 2, 28)).astype(np.uint8))
-    run, block_samples = make_closed_loop_stream(spec, nblocks, frames)
-    v, q, wok = run(wp)
-    float(q)  # sync (compile + warm run)
-    t0 = time.perf_counter()
-    v, q, wok = run(wp)
-    float(q)
-    dt = time.perf_counter() - t0
-    return nblocks * block_samples / dt / 1e6
-
-
 def _paced_realtime(seconds=20):
     """Short wall-clock pacing leg (VERDICT r4 item 2): the 1024-ch
     receiver under true 30.72 Msps arrival pacing via the executor;

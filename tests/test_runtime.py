@@ -408,7 +408,8 @@ def test_chunked_closed_loop_matches_single():
 
 
 def _install_fake_soapy(monkeypatch, rx_wave=None, flaky_codes=(),
-                        mtu=256, tx_capture=None, tx_accept=97):
+                        mtu=256, tx_capture=None, tx_accept=97,
+                        endless_code=None):
     """Inject a fake SoapySDR module into sys.modules implementing the
     subset of the Soapy streaming API SoapyIQSource/Sink drive:
     Device/setupStream/activateStream/readStream/writeStream with
@@ -419,10 +420,16 @@ def _install_fake_soapy(monkeypatch, rx_wave=None, flaky_codes=(),
     sp = types.ModuleType("SoapySDR")
     sp.SOAPY_SDR_RX, sp.SOAPY_SDR_TX = "RX", "TX"
     sp.SOAPY_SDR_CF32 = "CF32"
-    sp.SOAPY_SDR_TIMEOUT, sp.SOAPY_SDR_OVERFLOW = -1, -2
-    sp.SOAPY_SDR_UNDERFLOW = -4
-    sp.errToStr = lambda code: {-1: "TIMEOUT", -2: "OVERFLOW",
-                                -4: "UNDERFLOW"}.get(code, f"ERR{code}")
+    # the REAL SoapySDR/Errors.h codes: TIMEOUT=-1, STREAM_ERROR=-2,
+    # CORRUPTION=-3, OVERFLOW=-4, NOT_SUPPORTED=-5, TIME_ERROR=-6,
+    # UNDERFLOW=-7 — the fake must encode the genuine ABI or the suite
+    # validates the wrong contract (r5 review finding: the old fake's
+    # -2/-4 masked fatal STREAM_ERROR as a benign overflow)
+    sp.SOAPY_SDR_TIMEOUT, sp.SOAPY_SDR_OVERFLOW = -1, -4
+    sp.SOAPY_SDR_UNDERFLOW = -7
+    sp.errToStr = lambda code: {-1: "TIMEOUT", -2: "STREAM_ERROR",
+                                -4: "OVERFLOW",
+                                -7: "UNDERFLOW"}.get(code, f"ERR{code}")
 
     class _SR:
         def __init__(self, ret):
@@ -466,6 +473,8 @@ def _install_fake_soapy(monkeypatch, rx_wave=None, flaky_codes=(),
 
         def readStream(self, st, bufs, n, timeoutUs=0):
             assert self.active
+            if endless_code is not None:
+                return _SR(endless_code)
             if self.codes:
                 return _SR(self.codes.pop(0))
             take = min(n, mtu, len(rx_wave) - self.pos)
@@ -500,7 +509,7 @@ def test_soapy_source_streams_riq(monkeypatch):
     wave = (np.arange(n) + 1j * (2 * np.arange(n) + 1)).astype(np.complex64)
     sp = _install_fake_soapy(
         monkeypatch, rx_wave=wave,
-        flaky_codes=[-2, -2],       # two overflows before data flows
+        flaky_codes=[-4, -4],       # two overflows before data flows
         mtu=256)
     src = soapy_source("driver=fake", rate=400e3, freq=835.59e6, gain=12.0)
     dev = sp.Device.instances[-1]
@@ -530,10 +539,28 @@ def test_soapy_source_raises_on_stream_error(monkeypatch):
 
     _install_fake_soapy(monkeypatch,
                         rx_wave=np.zeros(8, np.complex64),
-                        flaky_codes=[-7])
+                        flaky_codes=[-2])   # fatal STREAM_ERROR
     src = soapy_source("driver=fake")
-    with pytest.raises(RuntimeError, match="readStream error -7"):
+    with pytest.raises(RuntimeError, match="readStream error -2"):
         src.read(8)
+
+
+def test_soapy_source_overflow_storm_honors_deadline(monkeypatch):
+    """A stalled driver returning OVERFLOW on every call must not hang
+    read(): the deadline applies to the overflow branch too (r5 review
+    finding), so read() returns None within ~timeout_s and the executor
+    RX thread keeps its cadence."""
+    import time as _time
+    from amps_tpu.runtime.sdr import soapy_source
+
+    _install_fake_soapy(monkeypatch,
+                        rx_wave=np.zeros(8, np.complex64),
+                        endless_code=-4)
+    src = soapy_source("driver=fake", timeout_s=0.1)
+    t0 = _time.monotonic()
+    assert src.read(64) is None
+    assert _time.monotonic() - t0 < 2.0
+    assert src.overflows >= 1
 
 
 def test_soapy_sink_writes_riq(monkeypatch):
@@ -544,7 +571,7 @@ def test_soapy_sink_writes_riq(monkeypatch):
 
     got = []
     sp = _install_fake_soapy(monkeypatch, tx_capture=got, tx_accept=97,
-                             flaky_codes=[-4])
+                             flaky_codes=[-7])
     sink = soapy_sink("driver=fake", rate=400e3, freq=880.59e6)
     dev = sp.Device.instances[-1]
     assert dev.settings[("rate", "TX", 0)] == 400e3
@@ -603,3 +630,50 @@ def test_report_compaction_overflow_counts_and_keeps_best():
     best = max(full, key=lambda r: r.quality)
     assert got[0].channel == best.channel
     assert np.array_equal(got[0].words, best.words)
+
+
+def test_report_compaction_priority_mirrors_host_gates():
+    """r5 review finding: the device-side top-R priority must mirror the
+    host min_rssi / require_word_a gates, or high-quality candidates the
+    host would discard anyway (the bf16 FM-capture ghost class,
+    CLAUDE.md) could evict a genuine weak burst from the top-R slots.
+    Driven directly through _compact_reports with synthetic planes."""
+    import jax
+    from amps_tpu.runtime.streamer import _compact_reports
+
+    M, K = 8, 2
+    valid = np.zeros((M, K), bool)
+    quality = np.zeros((M, K), np.float32)
+    rssi = np.full((M, K), 1.0, np.float32)
+    ok = np.zeros((M, K, 7), bool)
+    words = np.zeros((M, K, 7, 36), np.uint8)
+    bad = np.zeros((M, K, 8), np.uint8)
+    dccs = np.zeros((M, K, 7), np.uint8)
+    starts = np.zeros((M, K), np.int32)
+
+    # slot (1,0): high-quality ghost that fails the rssi gate
+    valid[1, 0], quality[1, 0], rssi[1, 0] = True, 0.99, 0.02
+    ok[1, 0, :] = True
+    # slot (2,0): high-quality ghost with invalid Word A
+    valid[2, 0], quality[2, 0] = True, 0.95
+    # slot (5,1): the genuine weak burst (passes both gates)
+    valid[5, 1], quality[5, 1] = True, 0.60
+    ok[5, 1, 0] = True
+
+    meta, _ = jax.device_get(_compact_reports(
+        jnp.asarray(starts), jnp.asarray(valid), jnp.asarray(quality),
+        jnp.asarray(words), jnp.asarray(ok), jnp.asarray(bad),
+        jnp.asarray(dccs), jnp.asarray(rssi),
+        np.float32(0.3), 1, True))
+    assert meta[0, 1] > 0.5                       # a slot was selected
+    assert int(meta[0, 0]) == 5 * K + 1           # ...the genuine burst
+    assert int(meta[0, 5]) == 1                   # n_valid: gated count
+
+    # with the gates off, the highest-quality candidate wins instead
+    meta2, _ = jax.device_get(_compact_reports(
+        jnp.asarray(starts), jnp.asarray(valid), jnp.asarray(quality),
+        jnp.asarray(words), jnp.asarray(ok), jnp.asarray(bad),
+        jnp.asarray(dccs), jnp.asarray(rssi),
+        np.float32(0.0), 1, False))
+    assert int(meta2[0, 0]) == 1 * K + 0
+    assert int(meta2[0, 5]) == 3

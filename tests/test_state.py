@@ -444,6 +444,10 @@ def test_resilient_receiver_callback_exception_is_not_a_device_failure():
                 res.push(b)
             except RuntimeError as e:
                 assert "station handler bug" in str(e)
+                # the block's burst reports ride on the exception: they
+                # are already marked delivered (positional dedup), so a
+                # return-value consumer would otherwise lose them
+                assert isinstance(e.burst_reports, list)
                 raised += 1
         return frames, res.recoveries, raised
 
