@@ -26,7 +26,8 @@ from jax.sharding import Mesh
 from amps_tpu.parallel.pipeline import (MultichannelSpec, full_demod_halo,
                                         make_sharded_rx_stream_step,
                                         sharded_stream_state)
-from amps_tpu.runtime.streamer import BurstReport, decode_dcc
+from amps_tpu.runtime.streamer import (BurstReport, _compact_reports_rows,
+                                       decode_dcc)
 from amps_tpu.rx import correlator
 
 
@@ -48,7 +49,8 @@ class ShardedReceiver:
                  min_rssi: float = 0.0,
                  require_word_a: bool = True,
                  supervision_slots: tuple = (),
-                 on_supervision: Optional[Callable] = None):
+                 on_supervision: Optional[Callable] = None,
+                 max_reports: int = 64):
         """``supervision_slots`` + ``on_supervision``: per-block SAT/ST
         supervision measurement on the given bank slots — the sharded
         mirror of MultichannelReceiver's RVC tap.  The sharded step
@@ -76,6 +78,11 @@ class ShardedReceiver:
                                     np.float32)
                            if self.supervision_slots else None)
         self.tsize = mesh.shape["time"]
+        # device-side report compaction width PER TIME ROW (see
+        # runtime/streamer._compact_reports): the host fetches at most
+        # tsize*max_reports candidate slots per block
+        self.max_reports = min(max_reports, self.M * max_bursts)
+        self.report_overflows = 0
         self._hop = self.M // 2
         self._step = self._make_step()
         self._state = sharded_stream_state(spec, self.ovr)
@@ -103,19 +110,25 @@ class ShardedReceiver:
         self._push_supervision(host)
         return self._extract_reports(host, int(x.shape[0]))
 
-    _FETCH_KEYS = ("starts", "valid", "quality", "words", "word_ok",
-                   "bad_symbols", "dcc_bits", "rssi")
-
     def _fetch(self, out) -> dict:
-        """ONE batched device fetch of every consumed output — burst
-        report arrays, the supervision tap, and (transceiver) the TX
-        wideband.  Sequential per-array fetches cost one device round
-        trip EACH (~8 RTTs/block measured 285 ms vs ~35 batched on this
-        tunnel — runtime/streamer._drain_one)."""
-        keys = [k for k in self._FETCH_KEYS + ("sup_demod", "tx_wideband")
-                if k in out]
-        vals = jax.device_get(tuple(out[k] for k in keys))
-        return dict(zip(keys, vals))
+        """ONE batched device fetch of every consumed output — the
+        COMPACTED burst reports (top-R candidate slots per time row,
+        runtime/streamer._compact_reports_rows: O(tsize*R) bytes
+        instead of the full (tsize, M, K, ...) planes), the supervision
+        tap, and (transceiver) the TX wideband.  Sequential per-array
+        fetches cost one device round trip EACH (~8 RTTs/block measured
+        285 ms vs ~35 batched on this tunnel —
+        runtime/streamer._drain_one)."""
+        comp = _compact_reports_rows(
+            out["starts"], out["valid"], out["quality"], out["words"],
+            out["word_ok"], out["bad_symbols"], out["dcc_bits"],
+            out["rssi"], np.float32(self.min_rssi), self.max_reports,
+            self.require_word_a)
+        keys = [k for k in ("sup_demod", "tx_wideband") if k in out]
+        fetched = jax.device_get((comp,) + tuple(out[k] for k in keys))
+        host = dict(zip(keys, fetched[1:]))
+        host["comp"] = fetched[0]
+        return host
 
     def _push_supervision(self, host: dict) -> None:
         """Assemble the per-row supervision demod tap in time order and
@@ -148,43 +161,60 @@ class ShardedReceiver:
                          n_samples: int) -> List[BurstReport]:
         """Host-side report discipline shared with ShardedTransceiver:
         per-row windows in time order, carry-aware rssi ghost gate,
-        dedup by absolute position.  ``host``: numpy arrays from one
-        batched ``_fetch``."""
-        (starts, valid, quality, words, ok, bad, dccs, rssi_pb) = (
-            host[k] for k in self._FETCH_KEYS)
-        quality = np.asarray(quality, np.float32)
-        rssi_pb = np.asarray(rssi_pb, np.float32)
+        dedup by absolute position.  ``host["comp"]``: the compacted
+        (meta (tsize, R, 6), payload (tsize, R, 274)) pair from one
+        batched ``_fetch`` — the min_rssi/word-A gates already ran on
+        device inside the compaction priority; the host re-applies them
+        on the same f32 values (defense in depth) and keeps dedup,
+        which needs cross-block history only the host has."""
+        meta, payload = host["comp"]
         nh_row = (n_samples // self._hop) // self.tsize
+        K = self.max_bursts
         new: List[BurstReport] = []
         for r in range(self.tsize):
             # absolute channel-sample index of this row's window[0]
             base = self._nh_done + r * nh_row - self.ovr
-            for c in range(self.M):
-                for k in range(starts.shape[2]):
-                    if not valid[r, c, k]:
-                        continue
-                    # per-burst rssi over the candidate's own capture
-                    # extent (device-side, correlator.burst_rssi)
-                    rssi = float(rssi_pb[r, c, k])
-                    if rssi < self.min_rssi:
-                        continue
-                    # invalid Word A: nothing dispatchable
-                    # (lib/recc_decode_impl.cc:107-110)
-                    if self.require_word_a and not ok[r, c, k, 0]:
-                        continue
-                    abs_sample = base + int(starts[r, c, k])
-                    if abs(abs_sample - self._last_seen[c]) < \
-                            correlator.CAPTURE_SYMBOLS * self.sps // 2:
-                        continue
-                    self._last_seen[c] = abs_sample
-                    rep = BurstReport(c, abs_sample // self.sps,
-                                      float(quality[r, c, k]),
-                                      words[r, c, k], ok[r, c, k],
-                                      bad[r, c, k], rssi=rssi,
-                                      dcc=decode_dcc(dccs[r, c, k]))
-                    new.append(rep)
-                    if self.on_burst:
-                        self.on_burst(rep)
+            idx = meta[r, :, 0].astype(np.int64)
+            cvalid = meta[r, :, 1] > 0.5
+            starts = meta[r, :, 2].astype(np.int64)
+            quality = np.asarray(meta[r, :, 3], np.float32)
+            rssi_pb = np.asarray(meta[r, :, 4], np.float32)
+            if int(meta[r, 0, 5]) > len(idx):
+                self.report_overflows += 1
+            R = len(idx)
+            words = payload[r, :, :252].reshape(R, 7, 36)
+            ok = payload[r, :, 252:259] > 0
+            bad = payload[r, :, 259:267]
+            dccs = payload[r, :, 267:274]
+            # ascending flat (c*K+k) index == the uncompacted (c, k)
+            # loop order, so delivery order and dedup retention match
+            # the single-device receiver exactly
+            for j in np.argsort(idx, kind="stable"):
+                if not cvalid[j]:
+                    continue
+                c = int(idx[j]) // K
+                # per-burst rssi over the candidate's own capture
+                # extent (device-side, correlator.burst_rssi)
+                rssi = float(rssi_pb[j])
+                if rssi < self.min_rssi:
+                    continue
+                # invalid Word A: nothing dispatchable
+                # (lib/recc_decode_impl.cc:107-110)
+                if self.require_word_a and not ok[j, 0]:
+                    continue
+                abs_sample = base + int(starts[j])
+                if abs(abs_sample - self._last_seen[c]) < \
+                        correlator.CAPTURE_SYMBOLS * self.sps // 2:
+                    continue
+                self._last_seen[c] = abs_sample
+                rep = BurstReport(c, abs_sample // self.sps,
+                                  float(quality[j]),
+                                  words[j], ok[j],
+                                  bad[j], rssi=rssi,
+                                  dcc=decode_dcc(dccs[j]))
+                new.append(rep)
+                if self.on_burst:
+                    self.on_burst(rep)
         self._nh_done += self.tsize * nh_row
         self.reports.extend(new)
         return new

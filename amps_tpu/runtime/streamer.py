@@ -43,9 +43,8 @@ def decode_dcc(bits7) -> int:
     return int(np.argmin(np.abs(_DCC_CODES - b).sum(axis=1)))
 
 
-@functools.partial(jax.jit, static_argnames=("R", "require_word_a"))
-def _compact_reports(starts, valid, quality, words, ok, bad, dccs, rssi,
-                     min_rssi, R: int, require_word_a: bool):
+def _compact_core(starts, valid, quality, words, ok, bad, dccs, rssi,
+                  min_rssi, R: int, require_word_a: bool):
     """Device-side report compaction: select the top-R candidate slots
     (deliverable first, then by trigger quality) and gather their report
     fields, so the host fetches O(R) bytes instead of the whole
@@ -105,6 +104,24 @@ def _compact_reports(starts, valid, quality, words, ok, bad, dccs, rssi,
         sel(dccs).reshape(R, -1).astype(jnp.uint8),
     ], axis=1)
     return meta, payload
+
+
+_compact_reports = jax.jit(_compact_core,
+                           static_argnames=("R", "require_word_a"))
+
+
+@functools.partial(jax.jit, static_argnames=("R", "require_word_a"))
+def _compact_reports_rows(starts, valid, quality, words, ok, bad, dccs,
+                          rssi, min_rssi, R: int, require_word_a: bool):
+    """Per-time-row compaction for the sharded receiver: vmap of
+    _compact_core over the leading (tsize,) row axis, so the multi-chip
+    report fetch is O(tsize*R) bytes instead of the full
+    (tsize, M, K, ...) planes — the sharded mirror of the single-device
+    compaction (same tunnel/PCIe argument, parallel/stream.py)."""
+    return jax.vmap(
+        lambda s, v, q, w, o, b, d, r_: _compact_core(
+            s, v, q, w, o, b, d, r_, min_rssi, R, require_word_a)
+    )(starts, valid, quality, words, ok, bad, dccs, rssi)
 
 
 # hop_parity is STATIC: production blocks are whole-hop and even-hop

@@ -293,6 +293,51 @@ def test_sharded_stream_matches_single_device():
     assert all(r.word_ok[:2].all() for r in mr_reports)
 
 
+def test_sharded_report_compaction_overflow():
+    """The sharded receiver's device-side per-row report compaction
+    (runtime/streamer._compact_reports_rows): with max_reports=1 and
+    two simultaneous bursts in one row window, the top-quality one is
+    delivered and the overflow is counted; at the default width both
+    decode bit-exact (the multi-chip mirror of the single-device
+    compaction test)."""
+    from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
+    from amps_tpu.parallel.pipeline import MultichannelSpec
+    from amps_tpu.parallel.stream import ShardedReceiver
+
+    spec = MultichannelSpec(num_channels=8, taps_per_phase=8)
+    Phop = 4
+    tsize, csize = 2, 2
+    nh_row = 12480
+    block_hops = tsize * nh_row
+    # both bursts complete INSIDE row 0's window (capture extent
+    # ~10344 channel samples; starting later would spill the second
+    # capture across the row boundary into row 1's halo window, where
+    # per-row R=1 compaction would legitimately deliver it)
+    events = [MobileEvent("page_response", 2, 500, "5551234567"),
+              MobileEvent("page_response", 5, 800, "4155559876")]
+    x = synthesize_reverse_band(events, spec, block_hops,
+                                noise_sigma=0.001)
+    mesh = make_mesh(MeshSpec(time=tsize, chan=csize), jax.devices()[:4])
+
+    sr = ShardedReceiver(mesh, spec, max_bursts=4, threshold=0.55)
+    full = sr.push(x) + sr.flush()
+    assert len(full) == 2 and sr.report_overflows == 0
+    assert {r.channel for r in full} == {2, 5}
+    for r in full:
+        ev = events[0] if r.channel == 2 else events[1]
+        want = np.stack(ev.words())
+        assert np.array_equal(r.words[: len(want)], want)
+
+    sr1 = ShardedReceiver(mesh, spec, max_bursts=4, threshold=0.55,
+                          max_reports=1)
+    got = sr1.push(x) + sr1.flush()
+    assert len(got) == 1
+    assert sr1.report_overflows >= 1
+    best = max(full, key=lambda r: r.quality)
+    assert got[0].channel == best.channel
+    assert np.array_equal(got[0].words, best.words)
+
+
 def test_tx_multichannel_per_channel_bits():
     """Every channel of the TX bank (fused bits->2-template FSK ->
     synthesis) carries ITS OWN frame bits, recoverable through an
