@@ -128,7 +128,14 @@ class ShardedReceiver:
         fetched = jax.device_get((comp,) + tuple(out[k] for k in keys))
         host = dict(zip(keys, fetched[1:]))
         host["comp"] = fetched[0]
+        # DEVICE references only (no fetch): the overflow fallback in
+        # _extract_reports fetches the full planes if a row's n_valid
+        # exceeds max_reports, so compaction can never drop a report
+        host["full"] = tuple(out[k] for k in self._FULL_KEYS)
         return host
+
+    _FULL_KEYS = ("starts", "valid", "quality", "words", "word_ok",
+                  "bad_symbols", "dcc_bits", "rssi")
 
     def _push_supervision(self, host: dict) -> None:
         """Assemble the per-row supervision demod tap in time order and
@@ -170,22 +177,42 @@ class ShardedReceiver:
         meta, payload = host["comp"]
         nh_row = (n_samples // self._hop) // self.tsize
         K = self.max_bursts
+        # OVERFLOW fallback: if any row had more deliverable candidates
+        # than max_reports, fetch the full (tsize, M, K, ...) planes
+        # (device refs kept by _fetch, zero cost until now) so no
+        # report is ever dropped — only this block pays the big fetch
+        full = None
+        if any(int(meta[r, 0, 5]) > meta.shape[1]
+               for r in range(self.tsize)):
+            self.report_overflows += 1
+            full = jax.device_get(host["full"])
         new: List[BurstReport] = []
         for r in range(self.tsize):
             # absolute channel-sample index of this row's window[0]
             base = self._nh_done + r * nh_row - self.ovr
-            idx = meta[r, :, 0].astype(np.int64)
-            cvalid = meta[r, :, 1] > 0.5
-            starts = meta[r, :, 2].astype(np.int64)
-            quality = np.asarray(meta[r, :, 3], np.float32)
-            rssi_pb = np.asarray(meta[r, :, 4], np.float32)
-            if int(meta[r, 0, 5]) > len(idx):
-                self.report_overflows += 1
-            R = len(idx)
-            words = payload[r, :, :252].reshape(R, 7, 36)
-            ok = payload[r, :, 252:259] > 0
-            bad = payload[r, :, 259:267]
-            dccs = payload[r, :, 267:274]
+            if full is not None:
+                (f_st, f_v, f_q, f_w, f_ok, f_bad, f_dcc, f_rs) = full
+                MK = self.M * K
+                idx = np.arange(MK)
+                cvalid = np.asarray(f_v[r]).reshape(MK)
+                starts = np.asarray(f_st[r]).reshape(MK).astype(np.int64)
+                quality = np.asarray(f_q[r], np.float32).reshape(MK)
+                rssi_pb = np.asarray(f_rs[r], np.float32).reshape(MK)
+                words = np.asarray(f_w[r]).reshape(MK, 7, 36)
+                ok = np.asarray(f_ok[r]).reshape(MK, 7).astype(bool)
+                bad = np.asarray(f_bad[r]).reshape(MK, -1)
+                dccs = np.asarray(f_dcc[r]).reshape(MK, 7)
+            else:
+                idx = meta[r, :, 0].astype(np.int64)
+                cvalid = meta[r, :, 1] > 0.5
+                starts = meta[r, :, 2].astype(np.int64)
+                quality = np.asarray(meta[r, :, 3], np.float32)
+                rssi_pb = np.asarray(meta[r, :, 4], np.float32)
+                R = len(idx)
+                words = payload[r, :, :252].reshape(R, 7, 36)
+                ok = payload[r, :, 252:259] > 0
+                bad = payload[r, :, 259:267]
+                dccs = payload[r, :, 267:274]
             # ascending flat (c*K+k) index == the uncompacted (c, k)
             # loop order, so delivery order and dedup retention match
             # the single-device receiver exactly

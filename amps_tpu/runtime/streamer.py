@@ -513,8 +513,16 @@ class MultichannelReceiver:
             jnp.asarray(self.supervision_slots, jnp.int32)]
             if self.supervision_slots and demod is not None else None)
         # enqueue DEVICE arrays only — no host sync here; the sync
-        # happens when the entry is drained, depth-1 blocks later
+        # happens when the entry is drained, depth-1 blocks later.
+        # ``full`` keeps the uncompacted report planes ALIVE on device
+        # (no fetch — just references): if the drain finds n_valid > R
+        # it falls back to fetching them, so compaction can never drop
+        # a report, only cost an extra round trip in synthetic overload
         self._inflight.append(dict(comp=comp,
+                                   full=(starts, valid, quality,
+                                         dec.words, dec.word_ok,
+                                         dec.bad_symbols, dec.dcc_bits,
+                                         rssi),
                                    demod=demod if self._tap is not None
                                    else None,
                                    sup_dem=sup_dem,
@@ -550,15 +558,37 @@ class MultichannelReceiver:
         # before a fetch that then raises would double-deliver on
         # replay (r4 review finding)
         meta, payload = jax.device_get(e["comp"])
-        idx = meta[:, 0].astype(np.int64)
-        cvalid = meta[:, 1] > 0.5
-        starts = meta[:, 2].astype(np.int64)
-        quality, rssi_pb, n_valid = meta[:, 3], meta[:, 4], meta[0, 5]
-        R = len(idx)
-        words = payload[:, :252].reshape(R, 7, 36)
-        ok = payload[:, 252:259] > 0
-        bad = payload[:, 259:267]
-        dccs = payload[:, 267:274]
+        if int(meta[0, 5]) > len(meta):
+            # OVERFLOW: more deliverable candidates than max_reports.
+            # Fall back to the full (M, K, ...) report planes (kept
+            # alive on device, zero cost until now) so no report is
+            # ever dropped — only this block pays the big fetch.  Never
+            # reached outside synthetic overload (the reference handles
+            # ONE burst at a time, lib/recc_decode_impl.cc); the
+            # counter lets soaks and deployments size max_reports.
+            self.report_overflows += 1
+            (f_starts, f_valid, f_quality, f_words, f_ok, f_bad,
+             f_dccs, f_rssi) = jax.device_get(e["full"])
+            MK = f_valid.size
+            idx = np.arange(MK)
+            cvalid = np.asarray(f_valid).reshape(MK)
+            starts = np.asarray(f_starts).reshape(MK).astype(np.int64)
+            quality = np.asarray(f_quality).reshape(MK)
+            rssi_pb = np.asarray(f_rssi).reshape(MK)
+            words = np.asarray(f_words).reshape(MK, 7, 36)
+            ok = np.asarray(f_ok).reshape(MK, 7).astype(bool)
+            bad = np.asarray(f_bad).reshape(MK, -1)
+            dccs = np.asarray(f_dccs).reshape(MK, 7)
+        else:
+            idx = meta[:, 0].astype(np.int64)
+            cvalid = meta[:, 1] > 0.5
+            starts = meta[:, 2].astype(np.int64)
+            quality, rssi_pb = meta[:, 3], meta[:, 4]
+            R = len(idx)
+            words = payload[:, :252].reshape(R, 7, 36)
+            ok = payload[:, 252:259] > 0
+            bad = payload[:, 259:267]
+            dccs = payload[:, 267:274]
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
         if self.supervision_slots and e["sup_dem"] is not None:
@@ -590,13 +620,6 @@ class MultichannelReceiver:
         # batched, tools/stream_rate_tpu.out)
         quality = np.asarray(quality, np.float32)
         rssi_pb = np.asarray(rssi_pb, np.float32)
-        if int(n_valid) > len(idx):
-            # more candidates than max_reports: the top-by-quality R
-            # were delivered, the rest dropped — count it so soaks and
-            # deployments can size max_reports (never observed outside
-            # synthetic overload; the reference handles one burst at a
-            # time total)
-            self.report_overflows += 1
         out = []
         # ascending flat (c*K+k) index == the uncompacted (c, k) loop
         # order, so delivery order and dedup retention are unchanged

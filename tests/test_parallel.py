@@ -296,10 +296,10 @@ def test_sharded_stream_matches_single_device():
 def test_sharded_report_compaction_overflow():
     """The sharded receiver's device-side per-row report compaction
     (runtime/streamer._compact_reports_rows): with max_reports=1 and
-    two simultaneous bursts in one row window, the top-quality one is
-    delivered and the overflow is counted; at the default width both
-    decode bit-exact (the multi-chip mirror of the single-device
-    compaction test)."""
+    two simultaneous bursts in one row window, the overflow is counted
+    and the drain falls back to the full planes (lossless); at the
+    default width both decode bit-exact through the compact path (the
+    multi-chip mirror of the single-device compaction test)."""
     from amps_tpu.eval.traffic import MobileEvent, synthesize_reverse_band
     from amps_tpu.parallel.pipeline import MultichannelSpec
     from amps_tpu.parallel.stream import ShardedReceiver
@@ -331,11 +331,15 @@ def test_sharded_report_compaction_overflow():
     sr1 = ShardedReceiver(mesh, spec, max_bursts=4, threshold=0.55,
                           max_reports=1)
     got = sr1.push(x) + sr1.flush()
-    assert len(got) == 1
     assert sr1.report_overflows >= 1
-    best = max(full, key=lambda r: r.quality)
-    assert got[0].channel == best.channel
-    assert np.array_equal(got[0].words, best.words)
+    # overflow falls back to the full planes: delivery is LOSSLESS and
+    # bit-identical to the default-width run
+    assert len(got) == 2
+    for a, b in zip(full, got):
+        assert a.channel == b.channel and a.abs_symbol == b.abs_symbol
+        assert np.array_equal(a.words, b.words)
+        assert np.array_equal(a.word_ok, b.word_ok)
+        assert a.dcc == b.dcc
 
 
 def test_tx_multichannel_per_channel_bits():
