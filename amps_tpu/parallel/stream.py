@@ -27,6 +27,7 @@ from amps_tpu.parallel.pipeline import (MultichannelSpec, full_demod_halo,
                                         make_sharded_rx_stream_step,
                                         sharded_stream_state)
 from amps_tpu.runtime.streamer import (BurstReport, _compact_reports_rows,
+                                       _flatten_full, _parse_compact,
                                        decode_dcc)
 from amps_tpu.rx import correlator
 
@@ -184,35 +185,20 @@ class ShardedReceiver:
         full = None
         if any(int(meta[r, 0, 5]) > meta.shape[1]
                for r in range(self.tsize)):
-            self.report_overflows += 1
+            # counter incremented AFTER the fallible fetch so a
+            # replayed block cannot double-count
             full = jax.device_get(host["full"])
+            self.report_overflows += 1
         new: List[BurstReport] = []
         for r in range(self.tsize):
             # absolute channel-sample index of this row's window[0]
             base = self._nh_done + r * nh_row - self.ovr
             if full is not None:
-                (f_st, f_v, f_q, f_w, f_ok, f_bad, f_dcc, f_rs) = full
-                MK = self.M * K
-                idx = np.arange(MK)
-                cvalid = np.asarray(f_v[r]).reshape(MK)
-                starts = np.asarray(f_st[r]).reshape(MK).astype(np.int64)
-                quality = np.asarray(f_q[r], np.float32).reshape(MK)
-                rssi_pb = np.asarray(f_rs[r], np.float32).reshape(MK)
-                words = np.asarray(f_w[r]).reshape(MK, 7, 36)
-                ok = np.asarray(f_ok[r]).reshape(MK, 7).astype(bool)
-                bad = np.asarray(f_bad[r]).reshape(MK, -1)
-                dccs = np.asarray(f_dcc[r]).reshape(MK, 7)
+                cand = _flatten_full(tuple(p[r] for p in full))
             else:
-                idx = meta[r, :, 0].astype(np.int64)
-                cvalid = meta[r, :, 1] > 0.5
-                starts = meta[r, :, 2].astype(np.int64)
-                quality = np.asarray(meta[r, :, 3], np.float32)
-                rssi_pb = np.asarray(meta[r, :, 4], np.float32)
-                R = len(idx)
-                words = payload[r, :, :252].reshape(R, 7, 36)
-                ok = payload[r, :, 252:259] > 0
-                bad = payload[r, :, 259:267]
-                dccs = payload[r, :, 267:274]
+                cand = _parse_compact(meta[r], payload[r])
+            (idx, cvalid, starts, quality, rssi_pb,
+             words, ok, bad, dccs) = cand
             # ascending flat (c*K+k) index == the uncompacted (c, k)
             # loop order, so delivery order and dedup retention match
             # the single-device receiver exactly

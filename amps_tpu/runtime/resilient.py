@@ -185,7 +185,10 @@ class ResilientReceiver:
             # suppresses any re-push); on_burst consumers already
             # received them during delivery.
             err = cb_errors[0]
-            err.burst_reports = out
+            try:
+                err.burst_reports = out
+            except AttributeError:
+                pass    # __slots__ exception class: raise it unadorned
             raise err
         return out
 

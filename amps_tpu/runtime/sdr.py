@@ -258,7 +258,14 @@ class SoapyIQSink(IQSink):
                 # with no progress for timeout_s is a backpressure fault
                 deadline = time.monotonic() + self.timeout_s
             elif ret == getattr(sp, "SOAPY_SDR_UNDERFLOW", _SOAPY_UNDERFLOW):
+                # count and keep draining — but honor the no-progress
+                # deadline (a broken driver returning UNDERFLOW forever
+                # must not hang the executor TX thread, the same storm
+                # class as read()'s OVERFLOW branch)
                 self.underflows += 1
+                if time.monotonic() >= deadline:
+                    raise TimeoutError("SoapySDR writeStream underflow "
+                                       "storm with no progress")
             elif ret == getattr(sp, "SOAPY_SDR_TIMEOUT", _SOAPY_TIMEOUT) \
                     or ret == 0:
                 if time.monotonic() >= deadline:

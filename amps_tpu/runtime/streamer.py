@@ -110,6 +110,44 @@ _compact_reports = jax.jit(_compact_core,
                            static_argnames=("R", "require_word_a"))
 
 
+def _parse_compact(meta, payload):
+    """Unpack ONE compacted (meta (R, 6), payload (R, 274)) pair into
+    the flat candidate arrays the delivery loops consume:
+    (idx, cvalid, starts, quality, rssi, words, ok, bad, dccs).
+    The payload layout is defined by _compact_core; this is its ONLY
+    decoder (shared by MultichannelReceiver and the sharded
+    receivers — keep layout knowledge single-source)."""
+    idx = meta[:, 0].astype(np.int64)
+    cvalid = meta[:, 1] > 0.5
+    starts = meta[:, 2].astype(np.int64)
+    quality = np.asarray(meta[:, 3], np.float32)
+    rssi = np.asarray(meta[:, 4], np.float32)
+    R = len(idx)
+    words = payload[:, :252].reshape(R, 7, 36)
+    ok = payload[:, 252:259] > 0
+    bad = payload[:, 259:267]
+    dccs = payload[:, 267:274]
+    return idx, cvalid, starts, quality, rssi, words, ok, bad, dccs
+
+
+def _flatten_full(planes):
+    """Flatten fetched FULL (M, K, ...) report planes into the same
+    tuple _parse_compact returns — the lossless overflow fallback path
+    (idx = ascending flat c*K+k, so delivery order is identical)."""
+    f_st, f_v, f_q, f_w, f_ok, f_bad, f_dcc, f_rs = planes
+    MK = np.asarray(f_v).size
+    idx = np.arange(MK)
+    cvalid = np.asarray(f_v).reshape(MK)
+    starts = np.asarray(f_st).reshape(MK).astype(np.int64)
+    quality = np.asarray(f_q, np.float32).reshape(MK)
+    rssi = np.asarray(f_rs, np.float32).reshape(MK)
+    words = np.asarray(f_w).reshape(MK, 7, 36)
+    ok = np.asarray(f_ok).reshape(MK, 7).astype(bool)
+    bad = np.asarray(f_bad).reshape(MK, -1)
+    dccs = np.asarray(f_dcc).reshape(MK, 7)
+    return idx, cvalid, starts, quality, rssi, words, ok, bad, dccs
+
+
 @functools.partial(jax.jit, static_argnames=("R", "require_word_a"))
 def _compact_reports_rows(starts, valid, quality, words, ok, bad, dccs,
                           rssi, min_rssi, R: int, require_word_a: bool):
@@ -565,30 +603,15 @@ class MultichannelReceiver:
             # ever dropped — only this block pays the big fetch.  Never
             # reached outside synthetic overload (the reference handles
             # ONE burst at a time, lib/recc_decode_impl.cc); the
-            # counter lets soaks and deployments size max_reports.
+            # counter lets soaks and deployments size max_reports and
+            # is incremented AFTER the fallible fetch so a replayed
+            # block cannot double-count (the r4 ordering discipline).
+            cand = _flatten_full(jax.device_get(e["full"]))
             self.report_overflows += 1
-            (f_starts, f_valid, f_quality, f_words, f_ok, f_bad,
-             f_dccs, f_rssi) = jax.device_get(e["full"])
-            MK = f_valid.size
-            idx = np.arange(MK)
-            cvalid = np.asarray(f_valid).reshape(MK)
-            starts = np.asarray(f_starts).reshape(MK).astype(np.int64)
-            quality = np.asarray(f_quality).reshape(MK)
-            rssi_pb = np.asarray(f_rssi).reshape(MK)
-            words = np.asarray(f_words).reshape(MK, 7, 36)
-            ok = np.asarray(f_ok).reshape(MK, 7).astype(bool)
-            bad = np.asarray(f_bad).reshape(MK, -1)
-            dccs = np.asarray(f_dccs).reshape(MK, 7)
         else:
-            idx = meta[:, 0].astype(np.int64)
-            cvalid = meta[:, 1] > 0.5
-            starts = meta[:, 2].astype(np.int64)
-            quality, rssi_pb = meta[:, 3], meta[:, 4]
-            R = len(idx)
-            words = payload[:, :252].reshape(R, 7, 36)
-            ok = payload[:, 252:259] > 0
-            bad = payload[:, 259:267]
-            dccs = payload[:, 267:274]
+            cand = _parse_compact(meta, payload)
+        (idx, cvalid, starts, quality, rssi_pb,
+         words, ok, bad, dccs) = cand
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
         if self.supervision_slots and e["sup_dem"] is not None:

@@ -26,6 +26,28 @@ import sys
 import numpy as np
 
 
+def _station_config(args):
+    """(SystemConfig, per_channel_fvc) from the CLI args — shared by
+    mesh and single-device modes so the voice-plan rule stays
+    single-source.  With mapped voice slots the station runs
+    per-channel FVC streams, and the voice-channel PLAN is the mapped
+    channels themselves: capacity scales with the map (a 16-entry map
+    serves 16 concurrent calls; the reference hardcodes two channels,
+    lib/recc_decode_impl.cc:205,252), and assigning an unmapped plan
+    channel would leave its FVC stream unpulled (alert never
+    transmits; the release-pending withholding would then leak the
+    channel from the pool forever)."""
+    from amps_tpu.config import SystemConfig
+    per_chan = bool(args.voice_slot_map)
+    mapped_chans = tuple(sorted(
+        int(pair.split(":")[0])
+        for pair in filter(None, args.voice_slot_map.split(","))))
+    system = SystemConfig(
+        aggressive_registration=args.aggressive_registration,
+        **({"voice_channels": mapped_chans} if per_chan else {}))
+    return system, per_chan
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="amps_tpu BS-in-a-box")
     p.add_argument("--channels", type=int, default=8,
@@ -104,7 +126,6 @@ def _run_mesh(args, result: dict | None = None):
     import jax
     import numpy as np
 
-    from amps_tpu.config import SystemConfig
     from amps_tpu.control.server import CommandServer
     from amps_tpu.control.station import BaseStation
     from amps_tpu.dsp import channelizer as chz
@@ -123,20 +144,9 @@ def _run_mesh(args, result: dict | None = None):
     mesh = make_mesh(MeshSpec(time=T, chan=C), devs[:T * C])
     spec = MultichannelSpec(num_channels=args.channels)
     M, Phop, SPS = args.channels, args.channels // 2, spec.chan_sps
-    # with mapped voice slots the station runs per-channel FVC streams:
-    # alerts/releases/designations ride each call's own forward voice
-    # channel (the reference's mute-pair arrangement, scaled to
-    # concurrent calls) — and the voice-channel PLAN is the mapped
-    # channels themselves, so capacity scales with the map (a 16-entry
-    # map serves 16 concurrent calls; the reference hardcodes two
-    # channels, lib/recc_decode_impl.cc:205,252)
-    per_chan = bool(args.voice_slot_map)
-    mapped_chans = tuple(sorted(
-        int(pair.split(":")[0])
-        for pair in filter(None, args.voice_slot_map.split(","))))
-    system = SystemConfig(
-        aggressive_registration=args.aggressive_registration,
-        **({"voice_channels": mapped_chans} if per_chan else {}))
+    # voice plan + per-channel FVC derived from the slot map
+    # (shared rule: _station_config)
+    system, per_chan = _station_config(args)
     station = BaseStation(system, sps=SPS, per_channel_fvc=per_chan)
     if args.sup_timers:
         fade_s, st_s = (float(v) for v in args.sup_timers.split(":"))
@@ -346,7 +356,6 @@ def main(argv=None, _result: dict | None = None):
         _run_mesh(args, _result)
         return
 
-    from amps_tpu.config import SystemConfig
     from amps_tpu.control.server import CommandServer
     from amps_tpu.control.station import BaseStation
     from amps_tpu.dsp import channelizer as chz
@@ -361,18 +370,9 @@ def main(argv=None, _result: dict | None = None):
     # mapped voice slots get per-channel FVC streams + blank-and-burst
     # sources, exactly like mesh mode (independent concurrent-call
     # signaling); without a map the station keeps the reference's
-    # single shared fvc block.  As in _run_mesh, the voice-channel PLAN
-    # is the mapped channels themselves — assigning a channel with no
-    # mapped bank slot would leave its per-channel FVC stream unpulled
-    # (the alert never transmits, and the release-pending withholding
-    # would then leak the channel from the pool forever)
-    per_chan = bool(args.voice_slot_map)
-    mapped_chans = tuple(sorted(
-        int(pair.split(":")[0])
-        for pair in filter(None, args.voice_slot_map.split(","))))
-    system = SystemConfig(
-        aggressive_registration=args.aggressive_registration,
-        **({"voice_channels": mapped_chans} if per_chan else {}))
+    # single shared fvc block.  Voice plan from the slot map — the
+    # shared rule of _station_config.
+    system, per_chan = _station_config(args)
     station = BaseStation(system, sps=spec.chan_sps,
                           per_channel_fvc=per_chan)
     tx = MultichannelTransmitter(spec, system,

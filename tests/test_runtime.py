@@ -486,6 +486,8 @@ def _install_fake_soapy(monkeypatch, rx_wave=None, flaky_codes=(),
 
         def writeStream(self, st, bufs, n, timeoutUs=0):
             assert self.active
+            if endless_code is not None:
+                return _SR(endless_code)
             if self.codes:
                 return _SR(self.codes.pop(0))
             take = min(n, tx_accept)
@@ -586,6 +588,25 @@ def test_soapy_sink_writes_riq(monkeypatch):
     assert sink.underflows == 1
     sink.close()
     assert dev.closed
+
+
+def test_soapy_sink_underflow_storm_honors_deadline(monkeypatch):
+    """A broken driver returning UNDERFLOW on every writeStream call
+    with no progress must not hang write() (and with it the executor TX
+    thread): the no-progress deadline applies to the underflow branch
+    too (r5 review finding, the sink mirror of the read overflow
+    storm)."""
+    import time as _time
+    from amps_tpu.runtime.sdr import soapy_sink
+
+    _install_fake_soapy(monkeypatch, tx_capture=[], endless_code=-7)
+    sink = soapy_sink("driver=fake", timeout_s=0.1)
+    riq = np.zeros((64, 2), np.float32)
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError, match="underflow storm"):
+        sink.write(riq)
+    assert _time.monotonic() - t0 < 2.0
+    assert sink.underflows >= 1
 
 
 def test_no_notimplementederror_left_in_product_code():
