@@ -145,7 +145,12 @@ def parse_min(min_str: str):
     unconditionally (out-of-range std::string reads for short inputs);
     we require exactly 10 digits.
     """
-    if len(min_str) != 10 or not min_str.isdigit():
+    # isascii() matters: str.isdigit() accepts non-ASCII Unicode digits
+    # (e.g. fullwidth '１'), and the ord()-0x30 arithmetic below would
+    # silently encode a garbage MIN instead of rejecting — the
+    # reference's explicit '0'..'9' range check (amps_packet.h) rejects
+    if len(min_str) != 10 or not (min_str.isascii()
+                                  and min_str.isdigit()):
         return None
     min2 = _min3(min_str[0], min_str[1], min_str[2])
     om1 = (_min3(min_str[3], min_str[4], min_str[5]) & 0x3FF) << 14

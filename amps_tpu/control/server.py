@@ -25,6 +25,7 @@ class CommandServer:
         self.port = port
         self._writers: Set[asyncio.StreamWriter] = set()
         self._server: Optional[asyncio.AbstractServer] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
         # fan debug events out to connected operators
         prev = station._on_event
 
@@ -37,7 +38,25 @@ class CommandServer:
         station._on_event = tee
 
     def _broadcast(self, msg: str) -> None:
-        data = msg.encode() if not msg.endswith("\n") else msg.encode()
+        # newline-delimit every debug line (the reference's
+        # debug_output port is line-oriented; station._debug messages
+        # carry no trailing newline)
+        data = (msg if msg.endswith("\n") else msg + "\n").encode()
+        # station events can fire from the RX pipeline thread while the
+        # server's event loop runs elsewhere; StreamWriter is NOT
+        # thread-safe, so route foreign-thread writes through the loop
+        loop = self._loop
+        if loop is not None and not loop.is_closed():
+            try:
+                running = asyncio.get_running_loop()
+            except RuntimeError:
+                running = None
+            if running is not loop:
+                loop.call_soon_threadsafe(self._write_all, data)
+                return
+        self._write_all(data)
+
+    def _write_all(self, data: bytes) -> None:
         for w in list(self._writers):
             try:
                 w.write(data)
@@ -47,6 +66,7 @@ class CommandServer:
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
         self._writers.add(writer)
+        buf = b""
         try:
             while True:
                 # a client dropping mid-read (reset, not FIN) is a normal
@@ -56,9 +76,20 @@ class CommandServer:
                 except (ConnectionResetError, BrokenPipeError, OSError):
                     break
                 if not data:
+                    # EOF: flush a trailing unterminated command (a
+                    # client may send 'page X' with no newline and
+                    # half-close)
+                    line = buf.decode(errors="replace").strip()
+                    if line:
+                        self.station.handle_command(line)
                     break
-                for line in data.decode(errors="replace").splitlines():
-                    line = line.strip()
+                # line-buffered framing: TCP segment boundaries are NOT
+                # command boundaries — a command split across two reads
+                # must not execute as two broken commands
+                buf += data
+                while b"\n" in buf:
+                    raw, buf = buf.split(b"\n", 1)
+                    line = raw.decode(errors="replace").strip()
                     if line:
                         self.station.handle_command(line)
                 with contextlib.suppress(Exception):
@@ -69,6 +100,7 @@ class CommandServer:
                 writer.close()
 
     async def start(self) -> None:
+        self._loop = asyncio.get_running_loop()
         self._server = await asyncio.start_server(
             self._handle, self.host, self.port)
 

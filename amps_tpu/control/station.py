@@ -201,10 +201,10 @@ class BaseStation:
         if not wa.T and wb.ORDER == 0 and wb.ORDQ == 0 and wb.MSG_TYPE == 0:
             self._handle_response(wa, wb)
         elif wa.T and wb.ORDER == 0xD:
-            self._handle_registration(wa, wb, words)
+            self._handle_registration(wa, wb, words, ok)
         elif wa.T and (wa.NAWC > 2 or (wb.ORDER == 0 and wb.ORDQ == 0
                                        and wb.MSG_TYPE == 0)):
-            self._handle_origination(wa, wb, words)
+            self._handle_origination(wa, wb, words, ok)
         else:
             self._debug(
                 f"got unknown RECC message: ORDER {wb.ORDER:#x} "
@@ -212,10 +212,12 @@ class BaseStation:
 
     def _assign_voice_channel(self, kind: str) -> Optional[int]:
         """Voice channel for a new call.  Reference behavior (shared
-        FVC): page responses always get plan[0] = 355, originations
-        plan[1] = 356 (lib/recc_decode_impl.cc:205,252).  In
-        ``per_channel_fvc`` (multi-call) mode: the first FREE channel
-        of the plan, or None when the plan is exhausted."""
+        FVC): page responses prefer plan[0] = 355, originations
+        plan[1] = 356 (lib/recc_decode_impl.cc:205,252), falling over
+        to the other plan channel — never onto a live call — and None
+        when both are busy.  In ``per_channel_fvc`` (multi-call) mode:
+        the first FREE channel of the plan, or None when the plan is
+        exhausted."""
         if self.per_channel_fvc:
             for c in self._vc_plan:
                 # a channel whose per-channel FVC is still unmuted has a
@@ -226,9 +228,22 @@ class BaseStation:
                 if c not in self.supervisors and self.fvc_mutes.get(c, True):
                     return c
             return None
+        # shared-FVC mode keeps the reference's preferred mapping but
+        # (fix vs reference) never clobbers a LIVE call's supervisor:
+        # replacing supervisors[chan] would orphan the previous call
+        # with no release order ever sent (handoff() refuses the same
+        # clobber for the same reason).  Preferred channel first, then
+        # the other plan channel, else None -> caller drops the access
+        # (the mobile retries per 553 access procedures).
         if kind == "response" or len(self._vc_plan) < 2:
-            return self._vc_plan[0]
-        return self._vc_plan[1]
+            pref = list(dict.fromkeys(
+                [self._vc_plan[0]] + list(self._vc_plan[1:2])))
+        else:
+            pref = [self._vc_plan[1], self._vc_plan[0]]
+        for c in pref:
+            if c not in self.supervisors:
+                return c
+        return None
 
     def _handle_response(self, wa: fields.RxWordA, wb: fields.RxWordB):
         """Page response -> voice assignment + FVC alert
@@ -248,24 +263,32 @@ class BaseStation:
         self._set_mutes(fvc_mute=False, audio_mute=True, chan=chan)
         self._start_supervision(chan, ALERTING)
 
-    def _handle_registration(self, wa, wb, words):
+    def _handle_registration(self, wa, wb, words, ok):
         """Registration order -> audit-order confirmation
         (lib/recc_decode_impl.cc:123-138,181-190)."""
         reqmin = fields.calc_min(wa.MIN1, wb.MIN2)
         self._debug(f"got registration from MIN={reqmin}")
         esn = None
         if wa.S and wa.NAWC > 1:
-            wc = fields.RxWordC.parse(words[2])
-            esn = wc.SERIAL
-            self._debug(f"registration included S; ESN={esn:x}")
-            if wc.NAWC != wa.NAWC - 2:
-                self._debug("protocol violation!  Word C NAWC does not "
-                            "agree with Word A's -- continuing anyway")
+            # fix vs reference: word C is only trusted when its BCH
+            # decode succeeded — an uncorrectable word C would report a
+            # garbage ESN (the confirmation itself needs only MIN)
+            if not ok[2]:
+                self._debug("registration word C failed decode; "
+                            "confirming without ESN")
+            else:
+                wc = fields.RxWordC.parse(words[2])
+                esn = wc.SERIAL
+                self._debug(f"registration included S; ESN={esn:x}")
+                if wc.NAWC != wa.NAWC - 2:
+                    self._debug("protocol violation!  Word C NAWC does "
+                                "not agree with Word A's -- continuing "
+                                "anyway")
         word1 = W.focc_word1(True, self.system.dcc, wa.MIN1)
         word2 = W.focc_word2_general(wb.MIN2, 0, 0, 7)  # audit order
         self._push_focc(word1, word2)
 
-    def _handle_origination(self, wa, wb, words):
+    def _handle_origination(self, wa, wb, words, ok):
         """Origination -> voice assignment (or intercept for leading '0')
         + 'page <digits>' command (lib/recc_decode_impl.cc:139-165,236-272).
         """
@@ -273,18 +296,34 @@ class BaseStation:
         esn = 0
         nextword = 2
         if wa.S:
-            wc = fields.RxWordC.parse(words[nextword])
+            # fix vs reference: an uncorrectable word C carries a
+            # garbage ESN — log and continue without it (NAWC
+            # adjustment depends only on word A's S bit)
+            if ok[nextword]:
+                wc = fields.RxWordC.parse(words[nextword])
+                esn = wc.SERIAL
+                if wc.NAWC != wa.NAWC - 2:
+                    self._debug("protocol violation!  Word C NAWC does "
+                                "not agree with Word A's -- continuing "
+                                "anyway")
+            else:
+                self._debug("origination word C failed decode; "
+                            "ESN unknown")
             nextword += 1
-            esn = wc.SERIAL
             nawc = wa.NAWC - 2
-            if wc.NAWC != nawc:
-                self._debug("protocol violation!  Word C NAWC does not "
-                            "agree with Word A's -- continuing anyway")
         if nawc < 1 or nawc > 4:
             self._debug(f"invalid NAWC value in RECC origination: {nawc:#x}")
             return
         dialed = ""
         for _ in range(nawc):
+            # fix vs reference: a failed called-address word would
+            # dial garbage digits — assigning a voice channel and
+            # paging a WRONG number is worse than dropping (the mobile
+            # retries per 553 access procedures)
+            if not ok[nextword]:
+                self._debug("called-address word failed decode; "
+                            "origination dropped\n")
+                return
             cw = fields.RxWordCalled.parse(words[nextword])
             nextword += 1
             dialed += cw.digits()

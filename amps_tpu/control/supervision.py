@@ -180,6 +180,9 @@ class ChannelSupervisor:
                                    # CONVERSATION; accumulated while
                                    # ALERTING, see _step)
         self._st_quiet_t = 0.0     # consecutive quiet-with-carrier s
+        self._conv_run_snap = 0.0  # run length at the ST falling edge
+                                   # (flash classification under the
+                                   # conversation drop-debounce)
         self._alert_t = 0.0
         self._st_seen_in_alert = False
         self.events: List[SupervisionEvent] = []
@@ -211,6 +214,7 @@ class ChannelSupervisor:
         self.state = CONVERSATION
         self._st_run_t = 0.0
         self._st_quiet_t = 0.0
+        self._conv_run_snap = 0.0
 
     def push_frames(self, levels, power) -> None:
         """levels: (F, 5) amplitudes [SAT0, SAT1, SAT2, ST, GUARD] from
@@ -295,11 +299,37 @@ class ChannelSupervisor:
                 # fade-start reads a fade as a flash; emitting at
                 # carrier-resume delivers a stale flash seconds late)
                 self._st_run_t = 0.0
+                self._st_quiet_t = 0.0
+                self._conv_run_snap = 0.0
             elif st_on:
                 self._st_run_t += cfg.frame_s
+                self._st_quiet_t = 0.0
+                self._conv_run_snap = 0.0
                 if self._st_run_t >= cfg.st_release_s:
                     self._release("mobile release (ST)")
             else:
-                if cfg.st_flash_min_s <= self._st_run_t <= cfg.st_flash_max_s:
-                    self._emit("flash")
-                self._st_run_t = 0.0
+                # drop-debounce (the mirror of ALERTING's confirmed-off
+                # discipline): a single missed ST frame under fading
+                # must not fragment a 1.8 s release run into
+                # flash-length pieces — the measured fading duty (ST in
+                # >= 59% of carrier frames at 6 dB fast fading, see
+                # st_answer_arm_s) would otherwise break EVERY release
+                # into spurious 'flash' events and leave the release to
+                # the 5 s SAT fade timeout.  The run only ENDS after
+                # st_drop_confirm_s of contiguous quiet; until then it
+                # decays at the arm ratio (fading gaps are discounted,
+                # a genuinely ended tone drains).  Flash classification
+                # uses the run length AT the falling edge, not the
+                # decayed value.
+                if self._st_quiet_t == 0.0:
+                    self._conv_run_snap = self._st_run_t
+                self._st_run_t = max(
+                    0.0, self._st_run_t - cfg.st_arm_decay_ratio * cfg.frame_s)
+                self._st_quiet_t += cfg.frame_s
+                if self._st_quiet_t >= cfg.st_drop_confirm_s - cfg.frame_s / 2:
+                    if cfg.st_flash_min_s <= self._conv_run_snap \
+                            <= cfg.st_flash_max_s:
+                        self._emit("flash")
+                    self._st_run_t = 0.0
+                    self._st_quiet_t = 0.0
+                    self._conv_run_snap = 0.0

@@ -151,7 +151,7 @@ def save_station(path: str, bs) -> None:
         payload[f"sup_{c}"] = np.asarray(
             [_SUP_STATES.index(s.state), s.t, s._sat_loss_t, s._st_run_t,
              s._alert_t, float(s._st_seen_in_alert),
-             s._st_quiet_t], np.float64)
+             s._st_quiet_t, s._conv_run_snap], np.float64)
     # per-channel FVC streams + mute pairs (per_channel_fvc stations)
     fchans = sorted(getattr(bs, "fvc_streams", {}))
     payload["fvc_channels"] = np.asarray(fchans, np.int64)
@@ -217,9 +217,11 @@ def load_station(path: str, bs) -> None:
         sup._st_run_t = float(st_run)
         sup._alert_t = float(alert)
         sup._st_seen_in_alert = bool(seen)
-        # 7th field (answer drop-confirm run) added r4; older
-        # checkpoints default it to 0
+        # 7th field (answer drop-confirm run) added r4, 8th field
+        # (conversation flash snapshot) added r5; older checkpoints
+        # default them to 0
         sup._st_quiet_t = float(vec[6]) if len(vec) > 6 else 0.0
+        sup._conv_run_snap = float(vec[7]) if len(vec) > 7 else 0.0
         bs.supervisors[c] = sup
 
 

@@ -485,3 +485,101 @@ def test_intercept_does_not_touch_global_mutes_on_per_channel_station():
     st2.fvc_mute, st2.audio_mute = False, True
     st2.handle_burst(words, ok)
     assert st2.fvc_mute is True and st2.audio_mute is False
+
+
+@pytest.mark.parametrize("port", [64653])
+def test_tcp_command_split_across_segments_and_newline_delimited_debug(port):
+    """r5 review findings: (a) a command split across two TCP segments
+    must execute as ONE command (line-buffered framing, not
+    segment-boundary framing); (b) every debug broadcast is
+    newline-delimited so operator clients can parse line-oriented
+    output; (c) an unterminated trailing command is flushed at EOF."""
+    async def run():
+        st = BaseStation()
+        srv = CommandServer(st, port=port)
+        await srv.start()
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        # one command, two segments, split mid-MIN
+        writer.write(b"page 55512")
+        await writer.drain()
+        await asyncio.sleep(0.05)
+        writer.write(b"34567\npage 415")
+        await writer.drain()
+        data = await asyncio.wait_for(reader.read(200), timeout=5)
+        assert b"paging" in data and data.endswith(b"\n")
+        # the second command is still incomplete: one page executed
+        assert len([e for e in st.events if e.kind == "focc_words"]) == 1
+        # EOF flushes the trailing unterminated command
+        writer.write(b"5559876")
+        await writer.drain()
+        writer.write_eof()
+        await asyncio.sleep(0.2)
+        assert len([e for e in st.events if e.kind == "focc_words"]) == 2
+        writer.close()
+        await srv.stop()
+
+    asyncio.run(run())
+
+
+def _burst_from(words_list):
+    words = np.zeros((7, 36), np.uint8)
+    ok = np.zeros(7, bool)
+    for i, w in enumerate(words_list):
+        words[i] = w
+        ok[i] = True
+    return words, ok
+
+
+def test_shared_fvc_assignment_never_clobbers_live_call():
+    """r5 review finding: in shared-FVC mode a second page response used
+    to get plan[0] unconditionally, REPLACING the live call's
+    supervisor (orphaning it with no release ever sent).  Now the
+    preferred channel falls over to the other plan channel, and a third
+    call is dropped with a debug."""
+    from amps_tpu.tx import recc_ms
+
+    st = BaseStation()
+    for m in ("5551234567", "4155559876", "2125550000"):
+        st.handle_burst(*_burst_from(recc_ms.page_response_words(m)))
+    # call 1 on 355, call 2 falls over to 356, call 3 dropped
+    assert sorted(st.supervisors) == [355, 356]
+    sup1 = st.supervisors[355]
+    assert any("no free voice channel" in str(e.payload)
+               for e in st.events if e.kind == "debug")
+    # a further response must not replace the live supervisor either
+    st.handle_burst(*_burst_from(
+        recc_ms.page_response_words("5551234567")))
+    assert st.supervisors[355] is sup1
+
+
+def test_origination_bad_called_word_dropped_and_bad_word_c_tolerated():
+    """r5 review finding: words beyond A/B were parsed without their
+    word_ok gates — a failed called-address word dialed garbage digits
+    (the station would assign a channel and page a WRONG number).  Now
+    a failed called word drops the origination; a failed word C merely
+    loses the (informational) ESN."""
+    from amps_tpu.tx import recc_ms
+
+    wl = recc_ms.origination_words("5551234567", "5551230000",
+                                   esn=0xDEAD)
+    assert len(wl) == 5                     # A, B, C, called x2
+
+    # failed called-address word: dropped, no page, no channel assigned
+    st = BaseStation()
+    words, ok = _burst_from(wl)
+    ok[3] = False
+    st.handle_burst(words, ok)
+    assert not st.supervisors
+    assert not [e for e in st.events if e.kind == "command"]
+    assert any("called-address word failed" in str(e.payload)
+               for e in st.events if e.kind == "debug")
+
+    # failed word C: served without the ESN
+    st2 = BaseStation()
+    words2, ok2 = _burst_from(wl)
+    ok2[2] = False
+    st2.handle_burst(words2, ok2)
+    cmds = [e.payload for e in st2.events if e.kind == "command"]
+    assert cmds == ["page 5551230000"]
+    assert any("word C failed decode" in str(e.payload)
+               for e in st2.events if e.kind == "debug")

@@ -332,3 +332,38 @@ def test_periodic_spurious_st_cannot_ratchet_the_arm_accumulator():
     sup.push_frames(quiet, pw_q)                           # confirmed drop
     assert any(e.kind == "answer" for e in sup.events)
     assert sup.state == CONVERSATION
+
+
+def test_fading_fragmented_release_still_releases_without_flash():
+    """r5 review finding: CONVERSATION ST tracking had no drop-debounce,
+    so a 1.8 s mobile-release tone fragmented by fading (single missed
+    frames, duty ~80%) fired repeated spurious 'flash' events and never
+    released until the 5 s SAT fade timeout.  With the confirmed-off
+    debounce + decay (the ALERTING discipline mirrored), the fragmented
+    run accumulates to the release threshold and no flash fires."""
+    cfg = SupervisionConfig(fade_timeout_s=60.0)  # isolate the ST logic
+    sup = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    # 4 ST frames, 1 missed frame (fading dropout shorter than the
+    # 0.1 s drop-confirm window), repeating — 80% duty
+    frag = np.concatenate([_tone_demod(0.04, st=True),
+                           _tone_demod(0.01, st=False)])
+    x = np.concatenate([frag] * 64)               # 3.2 s of fragmented ST
+    sup.push_frames(*_frames(x))
+    kinds = [e.kind for e in sup.events]
+    assert sup.state == RELEASED, kinds
+    assert "flash" not in kinds, kinds
+    assert "ST" in sup.events[-1].reason
+
+    # a genuine 400 ms flash (clean) still classifies as flash, using
+    # the run length at the falling edge (not the decayed value)
+    sup2 = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    sup2.push_frames(*_frames(_tone_demod(0.4, st=True)))
+    sup2.push_frames(*_frames(_tone_demod(0.3, st=False)))
+    assert [e.kind for e in sup2.events] == ["flash"]
+
+    # an isolated single fake-ST frame decays away: no flash, no release
+    sup3 = ChannelSupervisor(355, scc=1, config=cfg, state=CONVERSATION)
+    one = np.concatenate([_tone_demod(0.01, st=True),
+                          _tone_demod(0.5, st=False)])
+    sup3.push_frames(*_frames(np.concatenate([one] * 4)))
+    assert [e.kind for e in sup3.events] == []

@@ -43,10 +43,34 @@ def test_multi_mobile_soak():
     want_ch = sorted(ev.channel for ev in events)
     assert [g[0] for g in got] == sorted(want_ch) or \
         sorted(g[0] for g in got) == want_ch
-    # station produced one FOCC response per event (originations make 2:
-    # assignment + loopback page)
-    n_orig = sum(1 for ev in events if ev.kind == "origination")
+    # station FOCC responses follow the CAPACITY rule (r5 fix: a call
+    # assignment never clobbers a live call's supervisor — the
+    # shared-FVC plan holds 2 voice channels, and with no teardowns in
+    # this soak, call events beyond 2 concurrent are DROPPED with a
+    # debug, exactly as a fully-occupied station must): registrations
+    # always answer (+1), a served response +1, a served origination +2
+    # (assignment + loopback page), an intercept origination +2 with no
+    # channel needed, an over-capacity response/origination +0.
+    free = set(st._vc_plan)
+    expect = 0
+    for ev in sorted(events, key=lambda e: e.start_hop):
+        if ev.kind == "registration":
+            expect += 1
+        elif ev.kind == "page_response":
+            if free:
+                free.pop()
+                expect += 1
+        else:                                   # origination
+            if ev.dialed and ev.dialed[0] == "0":
+                expect += 2                     # intercept: no channel
+            elif free:
+                free.pop()
+                expect += 2
     focc_events = [e for e in st.events if e.kind == "focc_words"]
-    assert len(focc_events) == len(events) + n_orig
+    assert len(focc_events) == expect, (len(focc_events), expect)
+    if not free:
+        # capacity was reached: the drop path must have announced itself
+        assert any("no free voice channel" in str(e.payload)
+                   for e in st.events if e.kind == "debug")
     # all decoded words were clean
     assert all(r.word_ok[:2].all() for r in reports)
