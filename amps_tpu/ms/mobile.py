@@ -62,6 +62,13 @@ class SimMobile:
         self._pending_w1: Optional[dict] = None
         self._pending_access: Optional[Tuple[str, np.ndarray]] = None
         self._st_release_frames = 0     # pending release-ST frames to send
+        # which interface is consuming the pending release-ST run:
+        # rvc_baseband (physical) and supervision_frames (logical) BOTH
+        # decrement it, so a harness driving both for the same interval
+        # would halve the 1.9 s run and miss the station's 1.8 s
+        # release threshold (r5 review finding) — latched while a run
+        # is pending, cleared when it completes
+        self._st_iface = None
         self._focc_tail = np.zeros(0, np.float32)  # block-boundary carry
         self._rvc_n = 0                 # RVC sample clock (tone continuity)
         self._rvc_phase = 0.0           # RVC FM phase carry
@@ -217,6 +224,11 @@ class SimMobile:
         on = self.state in (RINGING, CONVERSATION)
         st_n = 0
         if self._st_release_frames > 0:
+            assert self._st_iface in (None, "rvc"), \
+                ("release-ST run already being consumed via "
+                 "supervision_frames; driving rvc_baseband too would "
+                 "double-decrement it and short the release tone")
+            self._st_iface = "rvc"
             # exact accounting: decrement by the frames actually SENT
             # (a ceil here shorted the 1.9 s run by up to one frame per
             # block — enough to miss the 1.8 s release threshold at
@@ -230,6 +242,7 @@ class SimMobile:
                 # forever and leak one phantom frame to
                 # supervision_frames (r4 review finding)
                 self._st_release_frames = 0
+                self._st_iface = None
         elif self.state == RINGING:
             st_n = n
         if not on and st_n == 0:
@@ -257,6 +270,12 @@ class SimMobile:
         levels = np.zeros((n, 4), np.float32)
         power = np.zeros(n, np.float32)
         on_channel = self.state in (RINGING, CONVERSATION)
+        if self._st_release_frames > 0:
+            assert self._st_iface in (None, "frames"), \
+                ("release-ST run already being consumed via "
+                 "rvc_baseband; driving supervision_frames too would "
+                 "double-decrement it and short the release tone")
+            self._st_iface = "frames"
         for f in range(n):
             sending_release_st = self._st_release_frames > 0
             if not on_channel and not sending_release_st:
@@ -268,4 +287,8 @@ class SimMobile:
                 levels[f, 3] = ST_AMPLITUDE
             if sending_release_st:
                 self._st_release_frames -= 1
+        if self._st_release_frames <= 0:
+            self._st_release_frames = max(0, self._st_release_frames)
+            if self._st_iface == "frames":
+                self._st_iface = None
         return levels, power

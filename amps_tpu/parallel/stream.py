@@ -28,7 +28,8 @@ from amps_tpu.parallel.pipeline import (MultichannelSpec, full_demod_halo,
                                         sharded_stream_state)
 from amps_tpu.runtime.streamer import (BurstReport, _compact_reports_rows,
                                        _flatten_full, _parse_compact,
-                                       decode_dcc)
+                                       decode_dcc,
+                                       deliver_supervision_frames)
 from amps_tpu.rx import correlator
 
 
@@ -145,25 +146,13 @@ class ShardedReceiver:
         across blocks so SAT/ST timers track wall time exactly)."""
         if not self.supervision_slots:
             return
-        from amps_tpu.rx.voice import supervision_levels
         sup = np.asarray(host["sup_demod"], np.float32)
         # (tsize, S, nh_row) rows -> (S, tsize*nh_row) continuous stream
         dem = np.concatenate([sup[r] for r in range(sup.shape[0])],
                              axis=-1)
-        dem = np.concatenate([self._sup_carry, dem], axis=-1)
-        fs = float(self.spec.pipe.chan_rate)
-        frame = int(fs * 0.01)                         # 10 ms frames
-        nf = dem.shape[-1] // frame
-        self._sup_carry = dem[:, nf * frame:]
-        if nf < 1:
-            return
-        sens = 2.0 * np.pi * self.spec.pipe.deviation_hz / fs
-        lv, pw = supervision_levels(
-            jnp.asarray(dem[:, : nf * frame]) / sens, frame, fs)
-        lv, pw = np.asarray(lv), np.asarray(pw)
-        if self.on_supervision:
-            for i, slot in enumerate(self.supervision_slots):
-                self.on_supervision(slot, lv[i], pw[i])
+        self._sup_carry = deliver_supervision_frames(
+            dem, self._sup_carry, self.spec,
+            self.supervision_slots, self.on_supervision)
 
     def _extract_reports(self, host: dict,
                          n_samples: int) -> List[BurstReport]:

@@ -193,4 +193,17 @@ class ResilientReceiver:
         return out
 
     def flush(self) -> List[BurstReport]:
-        return self._deliver(self.rx.flush())
+        """End-of-stream drain WITH the resilience contract: the
+        carried-overlap burst is completed against trailing silence
+        (pad_tail — the reference's ring-buffer retention at shutdown),
+        and a device failure during the flush triggers the same
+        rebuild+replay as a failed push (r5 review finding: flush used
+        to bypass both)."""
+        if self._ring and self.rx._last_block_len:
+            # route the pad block through push(): it carries the full
+            # retry/recovery machinery and positional dedup
+            out = self.push(np.zeros((self.rx._last_block_len, 2),
+                                     np.float32))
+        else:
+            out = []
+        return out + self._deliver(self.rx.flush())

@@ -121,6 +121,12 @@ class RingIQSink(IQSink):
                 if time.monotonic() > deadline:
                     raise TimeoutError("ring sink backpressure timeout")
                 time.sleep(0.001)
+            else:
+                # progress re-arms the deadline (same rule as
+                # SoapyIQSink.write): a block longer than timeout_s of
+                # real-time-paced samples drains in healthy spurts —
+                # only a stall with NO progress for timeout_s is a fault
+                deadline = time.monotonic() + self.timeout_s
 
 
 def _import_soapy():

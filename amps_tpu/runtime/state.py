@@ -10,7 +10,7 @@ word queues.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -19,7 +19,23 @@ import jax.numpy as jnp
 def snapshot_receiver(rx) -> Dict[str, np.ndarray]:
     """MultichannelReceiver carried state as host arrays (the in-memory
     form save_receiver persists; also the unit of elastic recovery,
-    runtime/resilient.py)."""
+    runtime/resilient.py).
+
+    Refuses a receiver with UNDRAINED in-flight blocks (pipeline_depth
+    > 1 mid-stream): the DSP state has already advanced past them while
+    the host dedup/supervision state has not, so a restore would drop
+    their reports forever and resume inconsistently — drain first
+    (flush()) or run the checkpointed stream at depth 1 (as
+    ResilientReceiver does)."""
+    if getattr(rx, "_inflight", None):
+        raise ValueError(
+            f"receiver has {len(rx._inflight)} undrained in-flight "
+            "block(s); flush() before snapshotting (r5 review finding)")
+    residue = getattr(rx, "_residue", None)
+    if residue is not None and int(residue.shape[0]):
+        raise ValueError(
+            "receiver has a buffered sub-hop input residue; flush() "
+            "before snapshotting")
     return {
         "kind": np.asarray("receiver"),
         "hist": np.asarray(rx._hist),
@@ -113,18 +129,33 @@ def load_transmitter(path: str, tx) -> None:
 _SUP_STATES = ("idle", "alerting", "conversation", "released")
 
 
-def save_station(path: str, bs) -> None:
+def save_station(path: str, bs, sources: Optional[dict] = None) -> None:
     """BaseStation -> .npz: FOCC word queue, FVC burst/timer/offset,
     mutes, and per-voice-channel supervision timers.  Together with
     save_receiver/save_transmitter this checkpoints the whole
     base station; a loaded station continues the exact symbol streams
     and supervision timeline (tests/test_state.py).  The event log is
-    history, not operational state, and is not persisted."""
+    history, not operational state, and is not persisted.
+
+    ``sources``: optional {slot_or_chan: VoiceFvcSlot} map — the voice
+    slots' modulator continuity state (FVC FM accumulator, voice FM
+    phase, SAT tone clock, and a looping WavAudioSource offset) joins
+    the checkpoint so the resumed TX waveform has no FM phase step or
+    SAT phase discontinuity (r5 review finding; pass the same map to
+    load_station)."""
     payload: Dict[str, np.ndarray] = {
         "kind": np.asarray("station"),
         "fvc_mute": np.int64(bs.fvc_mute),
         "audio_mute": np.int64(bs.audio_mute),
     }
+    if sources:
+        keys = sorted(sources)
+        payload["src_keys"] = np.asarray(keys, np.int64)
+        for k in keys:
+            s = sources[k]
+            wav_off = getattr(getattr(s, "audio_source", None), "_off", -1)
+            payload[f"src_{k}"] = np.asarray(
+                [s._fvc_accum, s._voice_phase, s._t, wav_off], np.float64)
     with bs.focc._lock:
         q = list(bs.focc._queue)
         busy = bs.focc._busy_superframes
@@ -169,12 +200,28 @@ def save_station(path: str, bs) -> None:
     np.savez(path, **payload)
 
 
-def load_station(path: str, bs) -> None:
-    """Restore into a freshly constructed BaseStation (same configs)."""
+def load_station(path: str, bs, sources: Optional[dict] = None) -> None:
+    """Restore into a freshly constructed BaseStation (same configs).
+    ``sources``: the same slot map given to save_station, to restore
+    voice-slot modulator continuity."""
     from amps_tpu.control.supervision import ChannelSupervisor
 
     z = np.load(path, allow_pickle=False)
     assert str(z["kind"]) == "station"
+    if sources and "src_keys" in z:
+        for k in z["src_keys"]:
+            k = int(k)
+            if k not in sources:
+                continue
+            accum, phase, t, wav_off = np.asarray(z[f"src_{k}"],
+                                                  np.float64)
+            s = sources[k]
+            s._fvc_accum = int(accum)
+            s._voice_phase = float(phase)
+            s._t = float(t)
+            if wav_off >= 0 and getattr(s, "audio_source", None) is not None \
+                    and hasattr(s.audio_source, "_off"):
+                s.audio_source._off = int(wav_off)
     bs.fvc_mute = bool(z["fvc_mute"])
     bs.audio_mute = bool(z["audio_mute"])
     with bs.focc._lock:

@@ -110,6 +110,31 @@ _compact_reports = jax.jit(_compact_core,
                            static_argnames=("R", "require_word_a"))
 
 
+def deliver_supervision_frames(dem, carry, spec, slots, callback):
+    """Shared supervision frame discipline (single-device AND sharded
+    receivers — keep it single-source, r5 review finding): prepend the
+    previous block's sub-frame leftover, measure whole 10 ms frames,
+    deviation-normalize so tone amplitudes come out in the TX units
+    SupervisionConfig's nominals are stated in, fan out per slot.
+    ``dem``: (S, n) float32 demod rows, NEW samples only.  Returns the
+    new sub-frame carry."""
+    from amps_tpu.rx.voice import supervision_levels
+    fs = float(spec.pipe.chan_rate)
+    frame = int(fs * 0.01)                                # 10 ms frames
+    dem = np.concatenate([carry, dem], axis=-1)
+    nf = dem.shape[-1] // frame
+    new_carry = dem[:, nf * frame:]
+    if nf >= 1:
+        sens = 2.0 * np.pi * spec.pipe.deviation_hz / fs
+        lv, pw = supervision_levels(
+            jnp.asarray(dem[:, : nf * frame]) / sens, frame, fs)
+        lv, pw = np.asarray(lv), np.asarray(pw)
+        if callback:
+            for i, slot in enumerate(slots):
+                callback(slot, lv[i], pw[i])
+    return new_carry
+
+
 def _parse_compact(meta, payload):
     """Unpack ONE compacted (meta (R, 6), payload (R, 274)) pair into
     the flat candidate arrays the delivery loops consume:
@@ -514,12 +539,32 @@ class MultichannelReceiver:
         self.depth = max(1, pipeline_depth)
         self._inflight: List[dict] = []
         self._last_block_len = 0
+        # non-hop-multiple tail buffered between pushes (see push)
+        self._residue = None
 
     def push(self, x_block) -> List[BurstReport]:
-        """Process one wideband block ((N, 2), N % hop == 0); returns new
+        """Process one wideband block ((N, 2), any N); returns new
         (deduplicated) burst reports — of this block at depth 1, of
-        blocks up to ``pipeline_depth``-1 behind otherwise."""
+        blocks up to ``pipeline_depth``-1 behind otherwise.
+
+        The analyzer consumes whole hops (M//2 samples); a
+        non-hop-multiple tail is BUFFERED and prepended to the next
+        push (r5 review finding: it used to be silently dropped from
+        the analysis while staying in the channelizer history, skewing
+        the polyphase alignment of every later block — and
+        RingIQSource/FileIQSource readily produce such lengths).
+        Hop-aligned callers (all production paths) pay nothing."""
         x = jnp.asarray(x_block, jnp.float32)
+        if self._residue is not None and int(self._residue.shape[0]):
+            x = jnp.concatenate([jnp.asarray(self._residue, jnp.float32),
+                                 x], axis=0)
+        self._residue = None
+        rem = int(x.shape[0]) % (self.M // 2)
+        if rem:
+            self._residue = x[int(x.shape[0]) - rem:]
+            x = x[: int(x.shape[0]) - rem]
+        if int(x.shape[0]) == 0:
+            return []
         self._last_block_len = int(x.shape[0])
         (starts, valid, quality, hard, self._hist,
          self._carry, self._prev, _, chan_power, rssi, self._pw_carry,
@@ -584,9 +629,24 @@ class MultichannelReceiver:
         if pad_tail and self._last_block_len:
             out.extend(self.push(np.zeros((self._last_block_len, 2),
                                           np.float32)))
+        elif self._residue is not None and int(self._residue.shape[0]):
+            # flush a buffered sub-hop tail against just enough zeros
+            # to complete one hop (push concatenates the residue)
+            pad = (self.M // 2) - int(self._residue.shape[0]) % (self.M // 2)
+            out.extend(self.push(np.zeros((pad, 2), np.float32)))
         while self._inflight:
             out.extend(self._drain_one(self._inflight.pop(0)))
+        if self._tap is not None:
+            self._tap.flush()
         return out
+
+    def close(self) -> None:
+        """Release host-side resources (the demod tap file — buffered
+        tail data would otherwise be lost if the process exits without
+        this receiver being garbage-collected).  Idempotent."""
+        if self._tap is not None:
+            self._tap.close()
+            self._tap = None
 
     def _drain_one(self, e: dict) -> List[BurstReport]:
         # the batched report fetch runs FIRST: it is where a device
@@ -615,28 +675,13 @@ class MultichannelReceiver:
         if self._tap is not None and e["demod"] is not None:
             np.asarray(e["demod"]).astype(np.float32).tofile(self._tap)
         if self.supervision_slots and e["sup_dem"] is not None:
-            from amps_tpu.rx.voice import supervision_levels
-            fs = float(self.spec.pipe.chan_rate)
-            frame = int(fs * 0.01)                       # 10 ms frames
             # sup_dem is the device-sliced supervision rows of
             # demod_new: NEW samples only, contiguous and
-            # non-overlapping across blocks — prepend the previous
-            # block's sub-frame leftover so measurement frames are
-            # continuous across blocks
+            # non-overlapping across blocks
             dem = np.asarray(jax.device_get(e["sup_dem"]), np.float32)
-            dem = np.concatenate([self._sup_carry, dem], axis=-1)
-            nf = dem.shape[-1] // frame
-            self._sup_carry = dem[:, nf * frame:]
-            if nf >= 1:
-                # deviation-normalize so tone amplitudes come out in the
-                # TX units SupervisionConfig's nominals are stated in
-                sens = 2.0 * np.pi * self.spec.pipe.deviation_hz / fs
-                lv, pw = supervision_levels(
-                    jnp.asarray(dem[:, : nf * frame]) / sens, frame, fs)
-                lv, pw = np.asarray(lv), np.asarray(pw)
-                if self.on_supervision:
-                    for i, slot in enumerate(self.supervision_slots):
-                        self.on_supervision(slot, lv[i], pw[i])
+            self._sup_carry = deliver_supervision_frames(
+                dem, self._sup_carry, self.spec,
+                self.supervision_slots, self.on_supervision)
         # (reports were fetched above in ONE batched device_get:
         # sequential np.asarray calls cost one device round trip EACH —
         # ~8 RTTs per block measured 285 ms on this tunnel vs ~35
@@ -722,10 +767,21 @@ class MultichannelTransmitter:
             chans[k] = bb
             n_hops = bb.shape[0]
         assert n_hops is not None, "no control channels configured"
+        # batched scatter: ONE stack + ONE .at[].set per group, not one
+        # device dispatch per channel (r5 review finding: the default
+        # ctrl=range(M) at M=1024 issued ~1024 sequential eager .at[]
+        # dispatches at ~2 ms each on the tunneled chip, CLAUDE.md)
         Y = jnp.zeros((n_hops, self.M, 2), jnp.float32)
-        for k, bb in chans.items():
-            Y = Y.at[:, k, :].set(bb)
-        for k, src in self._sources.items():
-            Y = Y.at[:, k, :].set(jnp.asarray(src(n_hops), jnp.float32))
+        if chans:
+            ks = sorted(chans)
+            Y = Y.at[:, jnp.asarray(ks, jnp.int32), :].set(
+                jnp.stack([chans[k] for k in ks], axis=1))
+        if self._sources:
+            sk = sorted(self._sources)
+            src_stack = np.stack(
+                [np.asarray(self._sources[k](n_hops), np.float32)
+                 for k in sk], axis=1)
+            Y = Y.at[:, jnp.asarray(sk, jnp.int32), :].set(
+                jnp.asarray(src_stack))
         x, self._state = chz.synthesize(Y, self.spec.chz_spec, self._state)
         return x

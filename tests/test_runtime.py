@@ -702,3 +702,60 @@ def test_report_compaction_priority_mirrors_host_gates():
         np.float32(0.0), 1, False))
     assert int(meta2[0, 0]) == 1 * K + 0
     assert int(meta2[0, 5]) == 3
+
+
+def test_push_buffers_non_hop_multiple_blocks():
+    """r5 review finding: a block length not divisible by M//2 used to
+    be silently truncated by the analyzer while the channelizer history
+    kept the remainder, skewing every later block's polyphase
+    alignment.  push() now buffers the sub-hop tail and prepends it to
+    the next push — ragged-block streaming (RingIQSource/FileIQSource
+    tails) decodes bit-identically to hop-aligned streaming."""
+    words = recc_ms.page_response_words("5551234567")
+    x = _reverse_wideband({3: words}, 40000)
+
+    ref_rx = MultichannelReceiver(SPEC, threshold=0.5)
+    ref = ref_rx.push(x) + ref_rx.flush()
+    assert len(ref) == 1
+
+    rx = MultichannelReceiver(SPEC, threshold=0.5)
+    got = []
+    off = 0
+    rng = np.random.default_rng(3)
+    while off < len(x):
+        n = min(int(rng.integers(1000, 9001)) | 1, len(x) - off)  # odd
+        got += rx.push(x[off:off + n])
+        off += n
+    got += rx.flush()
+    assert len(got) == 1
+    a, b = ref[0], got[0]
+    assert a.channel == b.channel and a.abs_symbol == b.abs_symbol
+    assert np.array_equal(a.words, b.words)
+    assert np.array_equal(a.word_ok, b.word_ok)
+
+
+def test_station_checkpoint_carries_voice_slot_continuity(tmp_path):
+    """r5 review finding: the voice slots' FM phase accumulator, SAT
+    tone clock, and audio offset were not persisted, so a resumed TX
+    waveform had an FM phase step on every voice slot.  save/load_
+    station now take an optional sources map."""
+    from amps_tpu.runtime.sources import VoiceFvcSlot
+    from amps_tpu.runtime.state import load_station, save_station
+
+    st = BaseStation(SystemConfig())
+    slot = VoiceFvcSlot(st, chan=355)
+    # advance the slot: voice+SAT baseband mutates phase/clock
+    _ = slot(3000)
+    want = (slot._fvc_accum, slot._voice_phase, slot._t)
+    assert want[2] > 0.0
+
+    p = str(tmp_path / "station.npz")
+    save_station(p, st, sources={355: slot})
+    st2 = BaseStation(SystemConfig())
+    slot2 = VoiceFvcSlot(st2, chan=355)
+    load_station(p, st2, sources={355: slot2})
+    assert (slot2._fvc_accum, slot2._voice_phase, slot2._t) == want
+    # the resumed waveform continues with NO phase discontinuity
+    a = slot(3000)
+    b = slot2(3000)
+    assert np.allclose(a, b, atol=1e-6)
